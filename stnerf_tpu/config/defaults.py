@@ -1,0 +1,136 @@
+"""Default configuration tree.
+
+Key schema is byte-compatible with the reference (ref: config/defaults.py:17-153)
+so the shipped scene YAMLs (configs/config_walking.yml, config_taekwondo.yml)
+load unchanged. TPU-specific knobs live under the new ``TPU`` section and in a
+few ``MODEL`` additions (all defaulted so reference configs need no edits).
+
+Notes vs the reference:
+* ``clean_ray`` is *present* here (default False). The reference reads
+  ``cfg.clean_ray`` (ref: data/datasets/ray_dataset.py:387) but never defines
+  it — a latent crash we fix by defining it.
+* ``MODEL.DEVICE`` is kept for compatibility but ignored (JAX owns devices).
+"""
+
+from .node import CfgNode as CN
+
+_C = CN()
+
+_C.deep_rgb = True
+_C.clean_ray = False  # regenerate the ray cache even if present
+
+_C.MODEL = CN()
+_C.MODEL.DEVICE = "tpu"
+_C.MODEL.COARSE_RAY_SAMPLING = 64
+_C.MODEL.FINE_RAY_SAMPLING = 80
+_C.MODEL.SAMPLE_METHOD = "NEAR_FAR"  # "NEAR_FAR" | "BBOX"
+_C.MODEL.BOARDER_WEIGHT = 1e10
+_C.MODEL.SAME_SPACENET = False
+_C.MODEL.TKERNEL_INC_RAW = True
+_C.MODEL.POSE_REFINEMENT = True
+_C.MODEL.USE_DIR = True
+_C.MODEL.REMOVE_OUTLIERS = False
+_C.MODEL.TRAIN_BY_POINTCLOUD = False
+_C.MODEL.USE_DEFORM_VIEW = False
+_C.MODEL.USE_DEFORM_TIME = False
+_C.MODEL.BKGD_USE_DEFORM_TIME = False
+_C.MODEL.BKGD_USE_SPACE_TIME = False
+_C.MODEL.USE_SPACE_TIME = False
+_C.MODEL.DEEP_RGB = True
+
+# --- TPU-native extensions (not in reference schema) ---
+_C.MODEL.BACKBONE_DIM = 256  # SpaceNet trunk width  (ref hardcodes 256)
+_C.MODEL.HEAD_DIM = 128      # SpaceNet rgb-head width (ref hardcodes 128)
+_C.MODEL.MOTION_DIM = 128    # MotionNet width (ref hardcodes 128)
+
+_C.INPUT = CN()
+_C.INPUT.SIZE_TRAIN = [400, 250]
+_C.INPUT.SIZE_TEST = [400, 250]
+_C.INPUT.SIZE_LAYER = [400, 250]
+_C.INPUT.MIN_SCALE_TRAIN = 0.5
+_C.INPUT.MAX_SCALE_TRAIN = 1.2
+_C.INPUT.PROB = 0.5
+_C.INPUT.PIXEL_MEAN = [0.1307]
+_C.INPUT.PIXEL_STD = [0.3081]
+
+_C.DATASETS = CN()
+_C.DATASETS.TRAIN = ""
+_C.DATASETS.TMP_RAYS = "rays_tmp"
+_C.DATASETS.TEST = ()
+_C.DATASETS.SHIFT = 0.0
+_C.DATASETS.MAXRATION = 0.0
+_C.DATASETS.ROTATION = 0.0
+_C.DATASETS.USE_MASK = False
+_C.DATASETS.NUM_FRAME = 1
+_C.DATASETS.FACTOR = 1
+_C.DATASETS.FIXED_NEAR = -1.0
+_C.DATASETS.FIXED_FAR = -1.0
+_C.DATASETS.CENTER_X = 0.0
+_C.DATASETS.CENTER_Y = 0.0
+_C.DATASETS.CENTER_Z = 0.0
+_C.DATASETS.SCALE = 1.0
+_C.DATASETS.FILE_OFFSET = 0
+_C.DATASETS.FRAME_OFFSET = 0
+_C.DATASETS.FRAME_NUM = 0
+_C.DATASETS.LAYER_NUM = 0
+_C.DATASETS.CAMERA_NUM = 0
+_C.DATASETS.BKGD_SAMPLE_RATE = 0.1
+_C.DATASETS.CAMERA_STEPSIZE = 1
+_C.DATASETS.USE_LABEL = False
+_C.DATASETS.VIEW_MASK = None
+_C.DATASETS.FIXED_LAYER = []
+
+_C.DATALOADER = CN()
+_C.DATALOADER.NUM_WORKERS = 8
+
+_C.SOLVER = CN()
+_C.SOLVER.OPTIMIZER_NAME = "SGD"
+_C.SOLVER.MAX_EPOCHS = 50
+_C.SOLVER.BASE_LR = 0.001
+_C.SOLVER.BIAS_LR_FACTOR = 2
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.WEIGHT_DECAY = 0.0005
+_C.SOLVER.WEIGHT_DECAY_BIAS = 0
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.STEPS = (30000,)
+_C.SOLVER.WARMUP_FACTOR = 1.0 / 3
+_C.SOLVER.WARMUP_ITERS = 500
+_C.SOLVER.WARMUP_METHOD = "linear"
+_C.SOLVER.CHECKPOINT_PERIOD = 10
+_C.SOLVER.LOG_PERIOD = 100
+_C.SOLVER.BUNCH = 4096
+_C.SOLVER.START_ITERS = 50
+_C.SOLVER.END_ITERS = 200
+_C.SOLVER.LR_SCALE = 0.1
+_C.SOLVER.COARSE_STAGE = 10
+_C.SOLVER.IMS_PER_BATCH = 16
+_C.SOLVER.BBOX_ID = 0
+
+_C.TEST = CN()
+_C.TEST.IMS_PER_BATCH = 8
+_C.TEST.WEIGHT = ""
+
+_C.OUTPUT_DIR = ""
+
+# ---------------------------------------------------------------------------
+# TPU-native section (no reference counterpart; see SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+_C.TPU = CN()
+# Compute dtype for MLP matmuls: "bfloat16" rides the MXU at full rate,
+# "float32" for bit-for-bit parity studies. Accumulation is always f32.
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Ray chunk size per device for full-image rendering (static shape; rays are
+# padded up to a multiple of this). Replaces utils/batchify_rays.py chunking.
+_C.TPU.RENDER_CHUNK = 8192
+# Device mesh axes: data-parallel over rays is the primary axis.
+_C.TPU.MESH_DATA = -1   # -1: all devices on the "data" axis
+_C.TPU.MESH_MODEL = 1   # optional layer-parallel axis size
+# Use the fused Pallas SpaceNet kernel for inference when available.
+_C.TPU.USE_PALLAS = True
+# Rematerialize MLP activations in the training backward pass.
+_C.TPU.REMAT = True
+
+
+def get_cfg() -> CN:
+    """Return a fresh (mutable) copy of the default config."""
+    return _C.clone()

@@ -1,0 +1,127 @@
+"""Ray sampling primitives: AABB intersection, stratified and inverse-CDF
+sampling. Pure, static-shape, vmap/jit-friendly.
+
+Replaces the reference's samplers (ref: layers/RaySamplePoint.py:8-107 BBOX
+slab test + stratified bins; :155-200 NEAR_FAR midpoint-jitter;
+utils/sample_pdf.py:18-63 inverse-CDF fine resampling) with closed-form
+vectorized math. Randomness is explicit `jax.random` keys; all samplers have
+a deterministic mode for golden tests (mirroring the reference's ``det``
+switch, ref: utils/sample_pdf.py:27-29).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MISS_T = -1e3  # the reference parks missed-ray intersection t's at -1e3
+               # (ref: layers/RaySamplePoint.py:53); kept for parity.
+
+
+def ray_aabb_intersect(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       box_min: jnp.ndarray, box_max: jnp.ndarray):
+    """Slab-test ray/AABB intersection.
+
+    rays_o, rays_d: (..., 3); box_min/box_max: (..., 3) broadcastable.
+    Returns (t_near, t_far, hit). For missed rays t_near = t_far = MISS_T,
+    matching the reference's sentinel so downstream sample positions and hit
+    masks agree (ref: layers/RaySamplePoint.py:53-62, top-2 of 6 face t's).
+    """
+    eps = jnp.asarray(2.220446049250313e-16, rays_d.dtype)  # np.finfo(float).eps
+    inv_d = 1.0 / (rays_d + eps)
+    t1 = (box_min - rays_o) * inv_d
+    t2 = (box_max - rays_o) * inv_d
+    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = t_far > t_near
+    # Degenerate/missed rays collapse to the sentinel; the derived bin width
+    # becomes 0 so the hit mask below matches the reference's |width|>1e-5.
+    t_near = jnp.where(hit, t_near, MISS_T)
+    t_far = jnp.where(hit, t_far, MISS_T)
+    return t_near, t_far, hit
+
+
+def stratified_between(t_start: jnp.ndarray, t_end: jnp.ndarray, num: int,
+                       key: jax.Array | None = None):
+    """Stratified-jittered samples in [t_start, t_end].
+
+    t_start/t_end: (N,). Returns t: (N, num). The reference draws u~U[0,1)
+    per bin and places t = (bin_idx + u) * width + start
+    (ref: layers/RaySamplePoint.py:87-102); deterministic mode (``key=None``)
+    uses u=0.5, i.e. bin centers.
+    """
+    n = t_start.shape[0]
+    bins = jnp.arange(num, dtype=t_start.dtype)[None, :]
+    if key is None:
+        u = jnp.full((n, num), 0.5, t_start.dtype)
+    else:
+        u = jax.random.uniform(key, (n, num), t_start.dtype)
+    width = ((t_end - t_start) / num)[:, None]
+    return (bins + u) * width + t_start[:, None]
+
+
+def stratified_near_far(near: jnp.ndarray, far: jnp.ndarray, num: int,
+                        key: jax.Array | None = None):
+    """Classic NeRF stratified sampling with midpoint jitter.
+
+    near/far: (N,). Linspace between near/far, then jitter each sample within
+    the interval bounded by neighbor midpoints (ref:
+    layers/RaySamplePoint.py:179-195). Deterministic mode keeps the linspace.
+    """
+    n = near.shape[0]
+    t_vals = jnp.linspace(0.0, 1.0, num, dtype=near.dtype)[None, :]
+    z = near[:, None] * (1.0 - t_vals) + far[:, None] * t_vals
+    if key is None:
+        return z
+    mids = 0.5 * (z[:, 1:] + z[:, :-1])
+    upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+    lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+    u = jax.random.uniform(key, (n, num), near.dtype)
+    return lower + (upper - lower) * u
+
+
+def sample_pdf(z_vals: jnp.ndarray, weights: jnp.ndarray, num: int,
+               key: jax.Array | None = None):
+    """Inverse-CDF importance sampling of the coarse weights.
+
+    z_vals: (N, S), weights: (N, S-2) (interior weights, the caller drops the
+    first/last sample as the reference does, ref:
+    modeling/layered_rfrender.py:460). Returns (N, num) new sample depths.
+
+    Bins are the midpoints of z_vals; pdf -> cdf -> searchsorted(right) ->
+    linear interpolation (ref: utils/sample_pdf.py:18-63). ``key=None``
+    reproduces the reference's det mode (u = linspace).
+    """
+    bins = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])          # (N, S-1)
+    w = weights + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (N, S-1)
+
+    if key is None:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, num, dtype=z_vals.dtype),
+                             (*cdf.shape[:-1], num))
+    else:
+        u = jax.random.uniform(key, (*cdf.shape[:-1], num), z_vals.dtype)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    # ``bins`` has one fewer entry than cdf; clamp like the reference's gather
+    # over the expanded matrix (indices are guaranteed < S-1 in practice).
+    bmax = bins.shape[-1] - 1
+    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bmax), axis=-1)
+    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bmax), axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
+def points_along_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray, t: jnp.ndarray):
+    """xyz = o + t*d. rays_o/rays_d: (N, 3), t: (N, S) -> (N, S, 3)."""
+    return rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]

@@ -1,0 +1,205 @@
+"""End-to-end tests of the layered render core: shapes, masking, edit
+semantics (hide/shift/scale/alpha), frame interpolation, determinism and
+gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stnerf_tpu.models import (EditState, LayeredSpec, RayInputs, SceneBoxes,
+                               compute_scale_pivot, init_layered_params,
+                               render_rays, unpack_rays)
+
+
+SPEC = LayeredSpec(layer_num=2, coarse_samples=8, fine_samples=4,
+                   sample_method="BBOX", use_space_time=True,
+                   use_deform_time=True, backbone_dim=16, head_dim=8,
+                   motion_dim=8, compute_dtype="float32")
+
+
+def make_scene(frames=3):
+    bkgd = jnp.array([[-6.0, -6.0, -6.0], [6.0, 6.0, 6.0]])
+    boxes = np.zeros((frames, 2, 2, 3), np.float32)
+    for f in range(frames):
+        # layer 1 near origin, drifting in +x with frame; layer 2 off to +y
+        boxes[f, 0] = [[-1 + 0.1 * f, -1, 1], [1 + 0.1 * f, 1, 3]]
+        boxes[f, 1] = [[-1, 2, 1], [1, 4, 3]]
+    return SceneBoxes(bkgd, jnp.array(boxes), jnp.array([0.5, 12.0]))
+
+
+def make_rays(n=12):
+    o = np.tile(np.array([[0.0, 0.0, -5.0]], np.float32), (n, 1))
+    # fan of directions crossing layer-1's box and some missing everything
+    d = np.stack([np.linspace(-0.3, 0.3, n).astype(np.float32),
+                  np.zeros(n, np.float32),
+                  np.ones(n, np.float32)], axis=1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return RayInputs(jnp.array(o), jnp.array(d),
+                     jnp.ones((n, 3), jnp.float32),
+                     jnp.zeros((n,), jnp.float32),
+                     jnp.tile(jnp.array([[0.5, 12.0]], jnp.float32), (n, 1)))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+    return params, make_scene(), make_rays()
+
+
+class TestRenderCore:
+    def test_shapes_and_finiteness(self, setup):
+        params, scene, inputs = setup
+        out = render_rays(params, SPEC, scene, inputs, EditState.identity(2),
+                          key=jax.random.PRNGKey(1))
+        n = inputs.rays_o.shape[0]
+        assert out.fine.color.shape == (n, 3)
+        assert out.coarse.color.shape == (n, 3)
+        assert out.fine_layers.color.shape == (3, n, 3)
+        assert out.coarse_layers.acc.shape == (3, n, 1)
+        assert out.hit.shape == (3, n)
+        for leaf in jax.tree.leaves(out):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    def test_acc_in_unit_range(self, setup):
+        params, scene, inputs = setup
+        out = render_rays(params, SPEC, scene, inputs, EditState.identity(2))
+        assert float(out.fine.acc.min()) >= 0.0
+        assert float(out.fine.acc.max()) <= 1.0 + 1e-4
+
+    def test_miss_rays_have_zero_layer_acc(self, setup):
+        params, scene, _ = setup
+        # ray pointing away from everything
+        inputs = RayInputs(jnp.array([[0.0, 0.0, -10.0]]),
+                           jnp.array([[0.0, 0.0, -1.0]]),
+                           jnp.ones((1, 3)), jnp.zeros((1,)),
+                           jnp.array([[0.5, 12.0]]))
+        out = render_rays(params, SPEC, scene, inputs, EditState.identity(2))
+        assert not bool(out.hit[0, 0]) and not bool(out.hit[1, 0])
+        np.testing.assert_allclose(np.asarray(out.fine.acc), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.fine_layers.acc), 0.0, atol=1e-6)
+
+    def test_hide_layer(self, setup):
+        params, scene, inputs = setup
+        edits = EditState.identity(2)
+        base = render_rays(params, SPEC, scene, inputs, edits)
+        hidden = render_rays(params, SPEC, scene, inputs,
+                             edits._replace(visible=jnp.array([1.0, 0.0, 1.0])))
+        # hidden layer contributes nothing
+        np.testing.assert_allclose(np.asarray(hidden.fine_layers.acc[1]), 0.0, atol=1e-6)
+        # mixed composite actually changed for rays that hit layer 1
+        hit1 = np.asarray(base.hit[1])
+        assert hit1.any()
+        diff = np.abs(np.asarray(base.fine.color) - np.asarray(hidden.fine.color)).sum(-1)
+        assert diff[hit1].max() > 1e-4
+        # background-only rays unchanged
+        if (~hit1).any():
+            assert diff[~hit1].max() < 1e-6
+
+    def test_hide_background_works(self, setup):
+        """Deviation-fix vs reference: hiding layer 0 takes effect
+        (ref silently ignores it; modeling/layered_rfrender.py:401)."""
+        params, scene, inputs = setup
+        out = render_rays(params, SPEC, scene, inputs,
+                          EditState.identity(2)._replace(
+                              visible=jnp.array([0.0, 0.0, 0.0])))
+        np.testing.assert_allclose(np.asarray(out.fine.acc), 0.0, atol=1e-6)
+
+    def test_shift_equivariance(self, setup):
+        """Shifting a layer and the camera by the same vector reproduces the
+        unshifted image of that layer (validates bbox forward transform +
+        sample inverse transform; ref: layered_rfrender.py:237-243,293-298)."""
+        params, scene, inputs = setup
+        s = jnp.array([0.7, -0.3, 0.2])
+        edits0 = EditState.identity(2)._replace(visible=jnp.array([0.0, 1.0, 0.0]))
+        base = render_rays(params, SPEC, scene, inputs, edits0)
+
+        shift = jnp.stack([jnp.zeros(3), s, jnp.zeros(3)])
+        moved_inputs = inputs._replace(rays_o=inputs.rays_o + s)
+        moved = render_rays(params, SPEC, scene, moved_inputs,
+                            edits0._replace(shift=shift))
+        np.testing.assert_allclose(np.asarray(moved.fine_layers.color[1]),
+                                   np.asarray(base.fine_layers.color[1]),
+                                   atol=2e-5)
+
+    def test_scale_identity(self, setup):
+        params, scene, inputs = setup
+        pivot = compute_scale_pivot(scene.bkgd_box, np.asarray(scene.boxes[0]))
+        base = render_rays(params, SPEC, scene, inputs, EditState.identity(2))
+        scaled = render_rays(params, SPEC, scene, inputs,
+                             EditState.identity(2, scale_pivot=pivot))
+        np.testing.assert_allclose(np.asarray(base.fine.color),
+                                   np.asarray(scaled.fine.color), atol=1e-6)
+
+    def test_alpha_fade(self, setup):
+        params, scene, inputs = setup
+        edits = EditState.identity(2)._replace(alpha=jnp.array([1.0, 0.0, 1.0]))
+        out = render_rays(params, SPEC, scene, inputs, edits)
+        np.testing.assert_allclose(np.asarray(out.fine_layers.acc[1]), 0.0, atol=1e-6)
+
+    def test_deterministic_given_key(self, setup):
+        params, scene, inputs = setup
+        k = jax.random.PRNGKey(7)
+        a = render_rays(params, SPEC, scene, inputs, EditState.identity(2), key=k)
+        b = render_rays(params, SPEC, scene, inputs, EditState.identity(2), key=k)
+        np.testing.assert_array_equal(np.asarray(a.fine.color), np.asarray(b.fine.color))
+
+    def test_only_coarse(self, setup):
+        params, scene, inputs = setup
+        out = render_rays(params, SPEC, scene, inputs, EditState.identity(2),
+                          only_coarse=True)
+        np.testing.assert_array_equal(np.asarray(out.fine.color),
+                                      np.asarray(out.coarse.color))
+
+    def test_grad_flows(self, setup):
+        params, scene, inputs = setup
+
+        def loss_fn(p):
+            out = render_rays(p, SPEC, scene, inputs, EditState.identity(2))
+            return jnp.mean(out.fine.color**2) + jnp.mean(out.coarse.color**2)
+
+        grads = jax.grad(loss_fn)(params)
+        flat = jax.tree.leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+        total = sum(float(jnp.abs(g).sum()) for g in flat)
+        assert total > 0.0
+
+    def test_near_clip_removes_foreground(self, setup):
+        params, scene, inputs = setup
+        base = render_rays(params, SPEC, scene, inputs, EditState.identity(2))
+        clipped = render_rays(params, SPEC, scene, inputs,
+                              EditState.identity(2)._replace(near=jnp.asarray(100.0)))
+        np.testing.assert_allclose(np.asarray(clipped.fine.acc), 0.0, atol=1e-6)
+        assert float(base.fine.acc.max()) > 0
+
+
+class TestFrameInterp:
+    def test_gather_boxes_lerp(self):
+        from stnerf_tpu.models.layered import _gather_boxes
+        scene = make_scene(frames=3)
+        f = jnp.array([[1.0, 1.0], [2.0, 2.0], [1.5, 1.5]])
+        boxes = _gather_boxes(scene, f)
+        np.testing.assert_allclose(np.asarray(boxes[0]), np.asarray(scene.boxes[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(boxes[1]), np.asarray(scene.boxes[1]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(boxes[2]),
+                                   0.5 * (np.asarray(scene.boxes[0]) + np.asarray(scene.boxes[1])),
+                                   atol=1e-6)
+
+
+class TestRayPacking:
+    def test_unpack_single_frame_col(self):
+        rays = np.concatenate([np.zeros((4, 3)), np.ones((4, 3)),
+                               np.full((4, 1), 5.0)], axis=1).astype(np.float32)
+        inp = unpack_rays(rays, SPEC)
+        assert inp.frame_ids.shape == (4, 3)
+        np.testing.assert_allclose(np.asarray(inp.frame_ids), 5.0)
+
+    def test_unpack_retiming_cols(self):
+        rays = np.concatenate([np.zeros((4, 3)), np.ones((4, 3)),
+                               np.tile([[2.0, 3.0, 4.0]], (4, 1))], axis=1).astype(np.float32)
+        inp = unpack_rays(rays, SPEC)
+        np.testing.assert_allclose(np.asarray(inp.frame_ids[0]), [2.0, 3.0, 4.0])
+
+    def test_unpack_bad_width(self):
+        with pytest.raises(ValueError):
+            unpack_rays(np.zeros((4, 11), np.float32), SPEC)

@@ -1,0 +1,255 @@
+"""Golden-value tests for the core ops against independent NumPy
+implementations (the reference ships no tests; strategy per SURVEY.md §4:
+golden math checks + deterministic sampling modes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stnerf_tpu.ops import (MISS_T, encoding_dim, lerp_encoded_time,
+                            merge_layers, positional_encoding, psnr,
+                            ray_aabb_intersect, sample_pdf, ssim,
+                            stratified_between, stratified_near_far,
+                            volume_render)
+
+
+class TestEncoding:
+    def test_dim(self):
+        assert encoding_dim(3, 10, True) == 63
+        assert encoding_dim(3, 4, True) == 27
+        assert encoding_dim(1, 10, True) == 21
+        assert encoding_dim(4, 10, True) == 84
+        assert encoding_dim(3, 10, False) == 60
+
+    def test_values_and_order(self, rng):
+        x = rng.normal(size=(5, 3)).astype(np.float32)
+        out = np.asarray(positional_encoding(jnp.array(x), 4, True))
+        # reference order: raw, then per-frequency [sin(f x), cos(f x)]
+        expect = [x]
+        for f in [1.0, 2.0, 4.0, 8.0]:
+            expect += [np.sin(f * x), np.cos(f * x)]
+        np.testing.assert_allclose(out, np.concatenate(expect, -1), rtol=1e-5, atol=1e-6)
+
+    def test_lerp_time_integer_matches_direct(self, rng):
+        xyz = rng.normal(size=(7, 3)).astype(np.float32)
+        t = np.array([1, 2, 3, 4, 5, 6, 7], np.float32)
+        direct = positional_encoding(jnp.concatenate([jnp.array(xyz), jnp.array(t)[:, None]], -1), 10, True)
+        blended = lerp_encoded_time(jnp.array(xyz), jnp.array(t), 10, True)
+        np.testing.assert_allclose(np.asarray(blended), np.asarray(direct), atol=1e-5)
+
+    def test_lerp_time_fractional(self, rng):
+        xyz = rng.normal(size=(4, 3)).astype(np.float32)
+        t = np.array([1.25, 2.5, 3.75, 4.0], np.float32)
+        got = np.asarray(lerp_encoded_time(jnp.array(xyz), jnp.array(t), 10, True))
+        lo = np.floor(t)
+        w = (t - lo)[:, None]
+        e = lambda tt: np.asarray(positional_encoding(
+            jnp.concatenate([jnp.array(xyz), jnp.array(tt)[:, None]], -1), 10, True))
+        np.testing.assert_allclose(got, (1 - w) * e(lo) + w * e(lo + 1), atol=1e-5)
+
+
+class TestAABB:
+    def test_hits_and_misses(self):
+        o = jnp.array([[0.0, 0.0, -5.0], [0.0, 0.0, -5.0], [10.0, 10.0, -5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        bmin = jnp.full((3, 3), -1.0)
+        bmax = jnp.full((3, 3), 1.0)
+        tn, tf, hit = ray_aabb_intersect(o, d, bmin, bmax)
+        assert bool(hit[0]) and not bool(hit[1]) and not bool(hit[2])
+        np.testing.assert_allclose(tn[0], 4.0, atol=1e-5)
+        np.testing.assert_allclose(tf[0], 6.0, atol=1e-5)
+        assert tn[1] == MISS_T and tf[2] == MISS_T
+
+    def test_origin_inside_box(self):
+        o = jnp.zeros((1, 3))
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        tn, tf, hit = ray_aabb_intersect(o, d, -jnp.ones((1, 3)), jnp.ones((1, 3)))
+        assert bool(hit[0])
+        np.testing.assert_allclose(tn[0], -1.0, atol=1e-5)
+        np.testing.assert_allclose(tf[0], 1.0, atol=1e-5)
+
+    def test_random_vs_bruteforce(self, rng):
+        """Cross-check against an independent 6-face-plane implementation
+        (the method the reference uses, layers/RaySamplePoint.py:8-62)."""
+        n = 256
+        o = rng.normal(size=(n, 3)).astype(np.float32) * 3
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        lo = rng.uniform(-2, 0, size=(n, 3)).astype(np.float32)
+        hi = lo + rng.uniform(0.5, 3, size=(n, 3)).astype(np.float32)
+
+        tn, tf, hit = ray_aabb_intersect(jnp.array(o), jnp.array(d), jnp.array(lo), jnp.array(hi))
+        tn, tf, hit = map(np.asarray, (tn, tf, hit))
+
+        for i in range(n):
+            ts = []
+            for ax in range(3):
+                for face in (lo[i, ax], hi[i, ax]):
+                    t = (face - o[i, ax]) / d[i, ax]
+                    p = o[i] + t * d[i]
+                    others = [a for a in range(3) if a != ax]
+                    if all(lo[i, a] - 1e-4 <= p[a] <= hi[i, a] + 1e-4 for a in others):
+                        ts.append(t)
+                if len(ts) >= 2:
+                    pass
+            if hit[i]:
+                assert len(ts) >= 2, f"ray {i} flagged hit but brute force missed"
+                np.testing.assert_allclose(tn[i], min(ts), rtol=1e-3, atol=1e-3)
+                np.testing.assert_allclose(tf[i], max(ts), rtol=1e-3, atol=1e-3)
+
+
+class TestStratified:
+    def test_between_det(self):
+        t = np.asarray(stratified_between(jnp.array([0.0]), jnp.array([9.0]), 9))
+        np.testing.assert_allclose(t[0], np.arange(9) + 0.5, atol=1e-5)
+
+    def test_between_random_in_bins(self):
+        key = jax.random.PRNGKey(0)
+        t = np.asarray(stratified_between(jnp.array([2.0]), jnp.array([12.0]), 10, key))
+        edges = 2.0 + np.arange(11)
+        assert np.all(t[0] >= edges[:-1]) and np.all(t[0] <= edges[1:])
+
+    def test_near_far_det(self):
+        z = np.asarray(stratified_near_far(jnp.array([1.0]), jnp.array([5.0]), 5))
+        np.testing.assert_allclose(z[0], np.linspace(1, 5, 5), atol=1e-6)
+
+    def test_near_far_random_bounds(self):
+        key = jax.random.PRNGKey(1)
+        z = np.asarray(stratified_near_far(jnp.full((4,), 1.0), jnp.full((4,), 5.0), 32, key))
+        assert z.min() >= 1.0 - 1e-5 and z.max() <= 5.0 + 1e-5
+        assert np.all(np.diff(z, axis=-1) > -1e-5)
+
+
+class TestSamplePdf:
+    def test_det_uniform_weights(self):
+        """Uniform weights + det mode -> inverse CDF is (near-)linear."""
+        z = jnp.tile(jnp.linspace(0.0, 1.0, 11)[None], (2, 1))
+        w = jnp.ones((2, 9))
+        s = np.asarray(sample_pdf(z, w, 5))
+        assert s.shape == (2, 5)
+        assert np.all(np.diff(s, axis=-1) > 0)
+        assert s.min() >= 0.05 - 1e-4 and s.max() <= 0.95 + 1e-4
+
+    def test_concentrates_on_peak(self):
+        z = jnp.tile(jnp.linspace(0.0, 1.0, 12)[None], (1, 1))
+        w = np.full((1, 10), 1e-4, np.float32)
+        w[0, 5] = 10.0  # peak around z ~ 0.5
+        s = np.asarray(sample_pdf(z, jnp.array(w), 16, jax.random.PRNGKey(0)))
+        assert np.mean(np.abs(s - z[0, 6])) < 0.15
+
+    def test_matches_numpy_reference(self, rng):
+        """Golden check vs an independent numpy inverse-CDF implementation."""
+        n, s_c, s_f = 8, 16, 7
+        z = np.sort(rng.uniform(0, 10, size=(n, s_c)).astype(np.float32), axis=-1)
+        w = rng.uniform(0, 1, size=(n, s_c - 2)).astype(np.float32)
+        got = np.asarray(sample_pdf(jnp.array(z), jnp.array(w), s_f))
+
+        bins = 0.5 * (z[:, 1:] + z[:, :-1])
+        ww = w + 1e-5
+        pdf = ww / ww.sum(-1, keepdims=True)
+        cdf = np.concatenate([np.zeros((n, 1), np.float32), np.cumsum(pdf, -1)], -1)
+        u = np.broadcast_to(np.linspace(0, 1, s_f, dtype=np.float32), (n, s_f))
+        expect = np.empty((n, s_f), np.float32)
+        for i in range(n):
+            inds = np.searchsorted(cdf[i], u[i], side="right")
+            below = np.maximum(inds - 1, 0)
+            above = np.minimum(inds, cdf.shape[-1] - 1)
+            cb, ca = cdf[i][below], cdf[i][above]
+            bmax = bins.shape[-1] - 1
+            bb, ba = bins[i][np.minimum(below, bmax)], bins[i][np.minimum(above, bmax)]
+            den = np.where(ca - cb < 1e-5, 1.0, ca - cb)
+            expect[i] = bb + (u[i] - cb) / den * (ba - bb)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def _numpy_volume_render(t, rgb, sigma, bw=1e10):
+    """Independent implementation of the reference compositor
+    (alpha/exclusive-cumprod/sigmoid-in-renderer; layers/render_layer.py:8-58)."""
+    delta = np.concatenate([t[:, 1:] - t[:, :-1], np.full_like(t[:, :1], bw)], -1)
+    alpha = 1 - np.exp(-np.maximum(sigma, 0) * delta)
+    trans = np.cumprod(np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1)[:, :-1]
+    w = alpha * trans
+    color = (w[..., None] / (1 + np.exp(-rgb)) * np.exp(-rgb) * 0).sum(1)  # placeholder
+    color = (w[..., None] * (1 / (1 + np.exp(-rgb)))).sum(1)
+    depth = (w * t).sum(-1, keepdims=True)
+    acc = w.sum(-1, keepdims=True)
+    return color, depth, acc, w
+
+
+class TestVolumeRender:
+    def test_matches_numpy(self, rng):
+        n, s = 16, 24
+        t = np.sort(rng.uniform(0, 8, (n, s)).astype(np.float32), -1)
+        rgb = rng.normal(size=(n, s, 3)).astype(np.float32)
+        sig = rng.normal(size=(n, s)).astype(np.float32)
+        out = volume_render(jnp.array(t), jnp.array(rgb), jnp.array(sig))
+        ec, ed, ea, ew = _numpy_volume_render(t, rgb, sig)
+        np.testing.assert_allclose(np.asarray(out.color), ec, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.depth), ed, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.acc), ea, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.weights)[..., 0], ew, rtol=1e-4, atol=1e-5)
+
+    def test_opaque_wall(self):
+        """A very dense first sample should dominate the composite."""
+        t = jnp.tile(jnp.linspace(1.0, 2.0, 8)[None], (1, 1))
+        rgb = jnp.full((1, 8, 3), 10.0)  # sigmoid -> ~1
+        sig = jnp.concatenate([jnp.full((1, 1), 1e4), jnp.zeros((1, 7))], -1)
+        out = volume_render(t, rgb, sig)
+        np.testing.assert_allclose(np.asarray(out.color[0]), [1, 1, 1], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out.depth[0]), [1.0], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out.acc[0]), [1.0], atol=1e-3)
+
+    def test_empty_space(self):
+        t = jnp.tile(jnp.linspace(1.0, 2.0, 8)[None], (1, 1))
+        out = volume_render(t, jnp.zeros((1, 8, 3)), jnp.zeros((1, 8)))
+        np.testing.assert_allclose(np.asarray(out.acc[0]), [0.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.color[0]), [0, 0, 0], atol=1e-6)
+
+
+class TestMergeLayers:
+    def test_sorted_union(self, rng):
+        L, n, s = 3, 5, 6
+        t = rng.uniform(0, 10, (L, n, s)).astype(np.float32)
+        t.sort(-1)
+        rgb = rng.normal(size=(L, n, s, 3)).astype(np.float32)
+        sig = rng.normal(size=(L, n, s)).astype(np.float32)
+        tm, rgbm, sigm = merge_layers(jnp.array(t), jnp.array(rgb), jnp.array(sig))
+        tm, rgbm, sigm = map(np.asarray, (tm, rgbm, sigm))
+        assert tm.shape == (n, L * s)
+        assert np.all(np.diff(tm, axis=-1) >= 0)
+        # every (t, sigma, rgb) tuple from the inputs appears in the output
+        for i in range(n):
+            order = np.argsort(np.concatenate([t[l, i] for l in range(L)]), kind="stable")
+            np.testing.assert_allclose(tm[i], np.concatenate([t[l, i] for l in range(L)])[order], atol=1e-6)
+            np.testing.assert_allclose(sigm[i], np.concatenate([sig[l, i] for l in range(L)])[order], atol=1e-6)
+            np.testing.assert_allclose(rgbm[i], np.concatenate([rgb[l, i] for l in range(L)])[order], atol=1e-6)
+
+    def test_merge_composite_equals_manual(self, rng):
+        """Compositing the merged set == compositing a hand-sorted union."""
+        L, n, s = 2, 4, 5
+        t = np.sort(rng.uniform(0, 5, (L, n, s)).astype(np.float32), -1)
+        rgb = rng.normal(size=(L, n, s, 3)).astype(np.float32)
+        sig = rng.uniform(0, 2, size=(L, n, s)).astype(np.float32)
+        tm, rgbm, sigm = merge_layers(jnp.array(t), jnp.array(rgb), jnp.array(sig))
+        out = volume_render(tm, rgbm, sigm)
+        tc = np.concatenate([t[l] for l in range(L)], -1)
+        order = np.argsort(tc, -1)
+        tc = np.take_along_axis(tc, order, -1)
+        sc = np.take_along_axis(np.concatenate([sig[l] for l in range(L)], -1), order, -1)
+        rc = np.take_along_axis(np.concatenate([rgb[l] for l in range(L)], 1), order[..., None], 1)
+        ec, _, _, _ = _numpy_volume_render(tc, rc, sc)
+        np.testing.assert_allclose(np.asarray(out.color), ec, rtol=1e-4, atol=1e-5)
+
+
+class TestMetrics:
+    def test_psnr(self):
+        a = jnp.zeros((4, 4, 3))
+        b = jnp.full((4, 4, 3), 0.1)
+        np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+    def test_ssim_identity(self, rng):
+        img = jnp.array(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+        noisy = img + 0.3 * jnp.array(rng.normal(size=(16, 16, 3)).astype(np.float32))
+        assert float(ssim(img, noisy)) < 0.9
