@@ -1,0 +1,105 @@
+"""Headline benchmark: layered free-viewpoint rendering throughput.
+
+Workload mirrors the reference's heaviest demo shape (taekwondo,
+configs/config_taekwondo.yml: 1920x1080 rays, 90 coarse + 30 fine samples,
+2 performer layers + background, space-time + deformation MLPs) and reports
+Mrays/sec/chip on one full frame.
+
+``vs_baseline`` compares against REF_GPU_RAYS_PER_SEC = 5.0e4 rays/s — a
+generous estimate of the PyTorch reference's single-GPU rendering rate for
+this workload (the repo publishes no numbers, BASELINE.md; the reference
+renders 3584-ray chunks through ~(L+1)x120 unfused fp32 MLP evaluations,
+engine timing defined at ref: engine/layered_trainer.py:304). The north-star
+target is 10x (vs_baseline >= 10).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_GPU_RAYS_PER_SEC = 5.0e4
+
+WIDTH, HEIGHT = 1920, 1080
+CHUNK = 32768
+
+
+def main():
+    import numpy as np
+
+    from stnerf_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from stnerf_tpu.config import get_cfg
+    from stnerf_tpu.models import (EditState, RayInputs, SceneBoxes,
+                                   init_layered_params)
+    from stnerf_tpu.models.layered import LayeredSpec
+    from stnerf_tpu.render.chunked import render_rays_chunked
+
+    cfg = get_cfg()
+    cfg.DATASETS.LAYER_NUM = 2
+    cfg.MODEL.COARSE_RAY_SAMPLING = 90
+    cfg.MODEL.FINE_RAY_SAMPLING = 30
+    cfg.MODEL.SAMPLE_METHOD = "BBOX"
+    cfg.MODEL.POSE_REFINEMENT = False
+    cfg.MODEL.USE_SPACE_TIME = True
+    cfg.MODEL.USE_DEFORM_TIME = True
+    cfg.MODEL.DEEP_RGB = False
+    spec = LayeredSpec.from_cfg(cfg)
+
+    params = init_layered_params(jax.random.PRNGKey(0), spec)
+    scene = SceneBoxes(
+        bkgd_box=jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]]),
+        boxes=jnp.tile(jnp.array([[[-1.0, -1, 0], [1, 1, 2]],
+                                  [[-1.0, 1, 0], [1, 3, 2]]])[None], (3, 1, 1, 1)),
+        bkgd_near_far=jnp.array([0.5, 16.0]))
+
+    n = WIDTH * HEIGHT
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] += 2.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    inputs = RayInputs(
+        rays_o=jnp.asarray(np.tile(np.array([[0, 0, -5.0]], np.float32), (n, 1))),
+        rays_d=jnp.asarray(d),
+        frame_ids=jnp.ones((n, 3), jnp.float32),
+        cam_ids=jnp.zeros((n,), jnp.float32),
+        near_far=jnp.tile(jnp.array([[0.5, 16.0]], jnp.float32), (n, 1)))
+
+    edits = EditState.identity(spec.layer_num)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile on one chunk
+    warm = jax.tree.map(lambda x: x[:CHUNK], inputs)
+    warm = RayInputs(*warm)
+    t0 = time.time()
+    render_rays_chunked(params, spec, scene, warm, edits, chunk=CHUNK, key=key)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    render_rays_chunked(params, spec, scene, inputs, edits, chunk=CHUNK, key=key)
+    frame_s = time.time() - t0
+
+    rays_per_s = n / frame_s
+    mrays = rays_per_s / 1e6
+    print(json.dumps({
+        "metric": "layered_render_throughput_1080p",
+        "value": round(mrays, 4),
+        "unit": "Mrays/sec/chip",
+        "vs_baseline": round(rays_per_s / REF_GPU_RAYS_PER_SEC, 2),
+        "detail": {"sec_per_frame_1080p": round(frame_s, 3),
+                   "compile_s": round(compile_s, 1),
+                   "samples_per_ray": 120, "layers": 3,
+                   "devices": len(jax.devices())},
+    }))
+
+
+if __name__ == "__main__":
+    main()

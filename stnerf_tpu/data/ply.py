@@ -25,6 +25,11 @@ _DTYPES = {
 
 def read_ply_points(path: str) -> np.ndarray:
     """Read vertex (x, y, z) from a PLY file -> (N, 3) float32."""
+    from . import native
+
+    pts = native.ply_read_points(path)
+    if pts is not None:
+        return pts
     with open(path, "rb") as f:
         magic = f.readline().strip()
         if magic != b"ply":

@@ -1,0 +1,155 @@
+"""Training-ray pregeneration with on-disk caching.
+
+Host-side counterpart of the reference's ``Ray_Frame_Layer_Dataset`` /
+``Ray_Dataset`` pipeline (ref: data/datasets/ray_dataset.py:339-455, 13-83):
+for every (layer, frame) it walks the cameras, selects pixels — by
+segmentation id when a label map is used, else by the projected-bbox ROI —
+converts them to packed rays (+ camera/frame id columns per model flags),
+shuffles and subsamples (background keeps ``BKGD_SAMPLE_RATE``), and caches
+flat arrays to ``{TMP_RAYS}/frame{F}/layer{L}/rays.npz``. The flat ray pool
+is exactly what a TPU input pipeline wants: fixed-size random batches with
+zero per-step host work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .cameras import pixel_rays, project_bbox_roi
+from .scene import FrameLayerScene, corners_from_minmax
+
+
+def _select_rays(image, label, K, T, layer_id: int, bbox, use_label_map: bool):
+    """Pixel selection for one camera.
+
+    use_label_map: keep pixels whose segmentation == layer_id
+    (ref: utils/ray_sampling.py:194-240). Otherwise: keep the projected-bbox
+    ROI crop with its labels (ref: utils/ray_sampling.py:75-192).
+    Returns (rays (N,6), labels (N,1), rgbs (N,3)).
+    """
+    _, H, W = image.shape
+    rgb_hw = np.moveaxis(image, 0, -1).reshape(-1, 3)
+    lab_hw = label.reshape(-1, 1)
+
+    if use_label_map:
+        keep = (lab_hw[:, 0] == layer_id)
+        rays = pixel_rays(K, T, H, W)[keep]
+        return rays.astype(np.float32), lab_hw[keep], rgb_hw[keep]
+
+    roi = (project_bbox_roi(corners_from_minmax(bbox[0], bbox[1]), K, T, H, W)
+           if bbox is not None else (0, H, 0, W))
+    minh, maxh, minw, maxw = roi
+    sel = np.zeros((H, W), bool)
+    sel[minh:maxh, minw:maxw] = True
+    sel = sel.reshape(-1)
+    return (pixel_rays(K, T, H, W, roi).astype(np.float32),
+            lab_hw[sel], rgb_hw[sel])
+
+
+def _append_id_columns(rays, cam_id, frame_id, spec):
+    cols = [rays]
+    n = rays.shape[0]
+    if spec.pose_refinement:
+        # packed pose-refinement layout [o, cam, d, cam]
+        # (ref: ray_dataset.py:407-410)
+        ids = np.full((n, 1), cam_id, np.float32)
+        cols = [rays[:, :3], ids, rays[:, 3:6], ids]
+        rays = np.concatenate(cols, 1)
+        cols = [rays]
+    if spec.use_deform_view:
+        cols.append(np.full((n, 1), cam_id, np.float32))
+    if spec.use_deform_time or spec.use_space_time:
+        cols.append(np.full((n, 1), frame_id, np.float32))
+    return np.concatenate(cols, 1) if len(cols) > 1 else rays
+
+
+def generate_frame_layer_rays(cfg, spec, transform, frame_id: int,
+                              layer_id: int, use_label_map: bool,
+                              sample_rate: float,
+                              rng: np.random.Generator) -> dict:
+    """Build (or load from cache) the ray set of one (frame, layer)."""
+    d = cfg.DATASETS
+    cache_dir = os.path.join(d.TRAIN, d.TMP_RAYS, f"frame{frame_id}",
+                             f"layer{layer_id}")
+    cache = os.path.join(cache_dir, "rays.npz")
+    empty = {"rays": np.zeros((0, 6), np.float32),
+             "rgbs": np.zeros((0, 3), np.float32),
+             "labels": np.zeros((0, 1), np.float32),
+             "near_fars": np.zeros((0, 2), np.float32)}
+    if sample_rate == 0.0:
+        return empty
+
+    if os.path.exists(cache) and not cfg.clean_ray:
+        with np.load(cache) as z:
+            return {k: z[k] for k in z.files}
+
+    scene = FrameLayerScene(cfg, transform, frame_id, layer_id)
+    rays_l, rgbs_l, labels_l, nf_l = [], [], [], []
+    for cam in range(0, scene.cam_num, d.CAMERA_STEPSIZE):
+        image, label, K, T, _, bbox, near_far, ok = scene.get_data(cam)
+        if not ok:
+            continue
+        rays, labels, rgbs = _select_rays(image, label, K, T, layer_id, bbox,
+                                          use_label_map)
+        rays = _append_id_columns(rays, cam, frame_id, spec)
+        rays_l.append(rays)
+        rgbs_l.append(rgbs)
+        labels_l.append(labels.astype(np.float32))
+        nf_l.append(np.repeat(near_far, rays.shape[0], axis=0))
+
+    if not rays_l:
+        return empty
+    out = {"rays": np.concatenate(rays_l), "rgbs": np.concatenate(rgbs_l),
+           "labels": np.concatenate(labels_l), "near_fars": np.concatenate(nf_l)}
+    if sample_rate != 1.0:
+        n = out["rays"].shape[0]
+        keep = rng.permutation(n)[: int(n * sample_rate)]
+        out = {k: v[keep] for k, v in out.items()}
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez_compressed(cache, **out)
+    return out
+
+
+def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
+                   transform=None) -> tuple[dict, np.ndarray]:
+    """Pregenerate the full training pool over all layers x frames.
+
+    Returns (pool dict of flat arrays, bboxes (F+offset, L, 2, 3)) —
+    the per-frame performer bboxes feed SceneBoxes.
+    (ref: Ray_Dataset.__init__, ray_dataset.py:15-65)
+    """
+    from .transforms import JointTransform
+
+    d = cfg.DATASETS
+    rng = rng or np.random.default_rng(0)
+    if transform is None:
+        transform = JointTransform((cfg.INPUT.SIZE_TRAIN[1], cfg.INPUT.SIZE_TRAIN[0]),
+                                   d.SHIFT, d.MAXRATION, d.ROTATION, rng=rng)
+
+    frames = range(1 + d.FRAME_OFFSET, d.FRAME_OFFSET + d.FRAME_NUM + 1)
+    boxes = np.zeros((d.FRAME_NUM + d.FRAME_OFFSET, d.LAYER_NUM, 2, 3), np.float32)
+    parts = []
+    for layer_id in range(d.LAYER_NUM + 1):
+        if layer_id == 0:
+            rate, use_label = d.BKGD_SAMPLE_RATE, True
+        else:
+            rate = 0.0 if layer_id in list(d.FIXED_LAYER) else 1.0
+            use_label = d.USE_LABEL
+        for frame_id in frames:
+            part = generate_frame_layer_rays(cfg, spec, transform, frame_id,
+                                             layer_id, use_label, rate, rng)
+            if layer_id != 0:
+                scene = FrameLayerScene(cfg, transform, frame_id, layer_id)
+                if scene.bbox is not None:
+                    boxes[frame_id - 1, layer_id - 1] = scene.bbox
+            # every ray of this set nominally belongs to this layer
+            # (ref: ray_dataset.py:454); the true pixel segmentation stays in
+            # "labels" and drives the mask-alpha loss
+            part = dict(part)
+            part["bbox_labels"] = np.full_like(part["labels"], layer_id)
+            parts.append(part)
+
+    pool = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    return pool, boxes

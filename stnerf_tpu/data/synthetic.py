@@ -1,0 +1,165 @@
+"""Synthetic layered-scene generator.
+
+Writes a complete dataset in the reference's on-disk layout
+(ref: data/datasets/frame_dataset.py:109-129: ``pose/RT_c2w.txt``,
+``pose/K.txt``, ``frame{F}/images/%03d.png``, ``frame{F}/labels/%03d.npy``,
+``frame{F}/pointclouds/{L}.ply``, ``background/0.ply``) so the full
+pipeline — ray pregeneration, training, rendering, demos — runs end-to-end
+without the (unshipped) capture data. The scene is analytic: a large
+background sphere enclosing everything plus ``layer_num`` moving performer
+spheres; images are ray-cast in NumPy with per-pixel layer labels.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from .cameras import lookat, pixel_rays
+from .ply import write_ply_points
+
+BG_RADIUS = 8.0
+SPHERE_RADIUS = 0.8
+
+
+def performer_center(layer: int, frame: int, num_frames: int) -> np.ndarray:
+    """Deterministic motion path of performer ``layer`` (1-based) at
+    ``frame`` (1-based)."""
+    u = (frame - 1) / max(num_frames - 1, 1)
+    if layer % 2 == 1:
+        return np.array([-1.2 + 2.4 * u, 0.0, 0.3 * np.sin(2 * np.pi * u)],
+                        np.float32) + np.array([0, 0, (layer - 1) * 0.5], np.float32)
+    return np.array([0.3 * np.sin(2 * np.pi * u), 1.4 - 0.8 * u, 0.0],
+                    np.float32) + np.array([0, 0, (layer - 2) * 0.5], np.float32)
+
+
+def _bg_color(p: np.ndarray) -> np.ndarray:
+    return 0.5 + 0.45 * np.stack([np.sin(0.6 * p[..., 0]),
+                                  np.sin(0.6 * p[..., 1] + 2.0),
+                                  np.cos(0.6 * p[..., 2])], -1)
+
+
+def _performer_color(layer: int, p: np.ndarray, center: np.ndarray) -> np.ndarray:
+    base = np.array([[0.85, 0.25, 0.2], [0.2, 0.4, 0.85], [0.2, 0.8, 0.3],
+                     [0.8, 0.7, 0.2]][(layer - 1) % 4], np.float32)
+    local = (p - center) / SPHERE_RADIUS
+    return np.clip(base + 0.15 * local, 0.0, 1.0)
+
+
+def _intersect_sphere(o, d, center, radius):
+    """Smallest positive t of |o + t d - c| = r, inf when missed."""
+    oc = o - center
+    b = np.sum(oc * d, -1)
+    c = np.sum(oc * oc, -1) - radius**2
+    disc = b * b - c
+    ok = disc >= 0
+    sq = np.sqrt(np.maximum(disc, 0))
+    t1, t2 = -b - sq, -b + sq
+    t = np.where(t1 > 1e-3, t1, t2)
+    return np.where(ok & (t > 1e-3), t, np.inf)
+
+
+def raycast(o: np.ndarray, d: np.ndarray, frame: int, num_frames: int,
+            layer_num: int):
+    """-> (rgb (N,3), label (N,), depth (N,)) analytic ground truth."""
+    n = o.shape[0]
+    best_t = _intersect_sphere(o, d, np.zeros(3, np.float32), BG_RADIUS)
+    label = np.zeros(n, np.int64)
+    centers = {}
+    for l in range(1, layer_num + 1):
+        c = performer_center(l, frame, num_frames)
+        centers[l] = c
+        t = _intersect_sphere(o, d, c, SPHERE_RADIUS)
+        hit = t < best_t
+        best_t = np.where(hit, t, best_t)
+        label = np.where(hit, l, label)
+    p = o + best_t[:, None] * d
+    rgb = _bg_color(p)
+    for l in range(1, layer_num + 1):
+        rgb = np.where((label == l)[:, None], _performer_color(l, p, centers[l]), rgb)
+    return rgb.astype(np.float32), label, best_t.astype(np.float32)
+
+
+def _camera_ring(num_cams: int, radius: float = 5.0, height: float = 0.6):
+    poses = []
+    for i in range(num_cams):
+        ang = np.pi * (0.15 + 0.7 * i / max(num_cams - 1, 1))
+        eye = np.array([radius * np.cos(ang), height, radius * np.sin(ang)])
+        poses.append(lookat(eye, np.zeros(3), np.array([0.0, 1.0, 0.0])))
+    return np.stack(poses)
+
+
+def _sphere_points(center, radius, n, rng):
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return (center + radius * v).astype(np.float32)
+
+
+def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
+                         num_cams: int = 12, num_frames: int = 5,
+                         layer_num: int = 2, seed: int = 0) -> None:
+    """Write the full dataset tree under ``root``."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "pose"), exist_ok=True)
+    os.makedirs(os.path.join(root, "background"), exist_ok=True)
+
+    poses = _camera_ring(num_cams)
+    f = 0.9 * width
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
+
+    np.savetxt(os.path.join(root, "pose", "RT_c2w.txt"),
+               poses[:, :3, :].reshape(num_cams, 12), fmt="%.8g")
+    np.savetxt(os.path.join(root, "pose", "K.txt"),
+               np.tile(K.reshape(1, 9), (num_cams, 1)), fmt="%.8g")
+
+    write_ply_points(os.path.join(root, "background", "0.ply"),
+                     _sphere_points(np.zeros(3), BG_RADIUS, 4000, rng))
+
+    for frame in range(1, num_frames + 1):
+        fdir = os.path.join(root, f"frame{frame}")
+        os.makedirs(os.path.join(fdir, "images"), exist_ok=True)
+        os.makedirs(os.path.join(fdir, "labels"), exist_ok=True)
+        os.makedirs(os.path.join(fdir, "pointclouds"), exist_ok=True)
+        for l in range(1, layer_num + 1):
+            write_ply_points(os.path.join(fdir, "pointclouds", f"{l}.ply"),
+                             _sphere_points(performer_center(l, frame, num_frames),
+                                            SPHERE_RADIUS, 1500, rng))
+        for cam in range(num_cams):
+            rays = pixel_rays(K, poses[cam], height, width)
+            rgb, label, _ = raycast(rays[:, :3], rays[:, 3:6], frame,
+                                    num_frames, layer_num)
+            img = (rgb.reshape(height, width, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(fdir, "images", f"{cam:03d}.png"))
+            np.save(os.path.join(fdir, "labels", f"{cam:03d}.npy"),
+                    label.reshape(height, width).astype(np.uint8))
+
+
+def synthetic_cfg(root: str, width: int = 200, height: int = 150,
+                  num_frames: int = 5, layer_num: int = 2):
+    """A config wired for the synthetic scene (BBOX sampling, space-time +
+    deformation on, as the taekwondo config uses)."""
+    from ..config import get_cfg
+
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = root
+    cfg.DATASETS.FRAME_NUM = num_frames
+    cfg.DATASETS.LAYER_NUM = layer_num
+    cfg.DATASETS.USE_LABEL = True
+    cfg.DATASETS.BKGD_SAMPLE_RATE = 0.05
+    cfg.INPUT.SIZE_TRAIN = [width, height]
+    cfg.INPUT.SIZE_TEST = [width, height]
+    cfg.INPUT.SIZE_LAYER = [width, height]
+    cfg.MODEL.SAMPLE_METHOD = "BBOX"
+    cfg.MODEL.POSE_REFINEMENT = False
+    cfg.MODEL.USE_DEFORM_TIME = True
+    cfg.MODEL.USE_SPACE_TIME = True
+    cfg.MODEL.DEEP_RGB = False
+    cfg.MODEL.REMOVE_OUTLIERS = True
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.BASE_LR = 4e-4
+    cfg.SOLVER.IMS_PER_BATCH = 2000
+    cfg.SOLVER.BUNCH = 2000
+    cfg.SOLVER.COARSE_STAGE = 1
+    return cfg

@@ -41,6 +41,7 @@ Behavioral notes (quirks preserved / fixed — see SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -199,6 +200,7 @@ def compute_scale_pivot(bkgd_box: jnp.ndarray, boxes_frame0: jnp.ndarray) -> jnp
     component taken from the bbox *minimum* (the in-tree "spider" hack at
     :226). With a single performer layer, its own center is used.
     """
+    boxes_frame0 = jnp.asarray(boxes_frame0)
     centers = 0.5 * (boxes_frame0[:, 0] + boxes_frame0[:, 1])  # (L, 3)
     centers = centers.at[:, 2].set(boxes_frame0[:, 0, 2])       # z <- min z
     if boxes_frame0.shape[0] >= 2:
@@ -210,12 +212,14 @@ def compute_scale_pivot(bkgd_box: jnp.ndarray, boxes_frame0: jnp.ndarray) -> jnp
 # Parameters
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("spec",))
 def init_layered_params(key: jax.Array, spec: LayeredSpec) -> dict:
     """Initialize the full parameter pytree.
 
     Mirrors the reference's init sharing: every performer layer starts as a
     copy of layer 0's net, and fine nets start equal to coarse (or aliased
     when SAME_SPACENET; ref: modeling/layered_rfrender.py:59-93).
+    Jitted whole: one compile instead of hundreds of per-op dispatches.
     """
     kb, kl, km, kbm, kv = jax.random.split(key, 5)
     L = spec.layer_num

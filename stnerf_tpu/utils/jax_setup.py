@@ -1,0 +1,48 @@
+"""JAX runtime setup helpers for entry points."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled XLA programs across processes.
+
+    The full layered render program takes minutes to compile on a tunneled
+    TPU; caching makes every subsequent process start in seconds. Safe to
+    call multiple times.
+    """
+    import jax
+
+    path = path or os.environ.get("STNERF_COMPILE_CACHE",
+                                  os.path.expanduser("~/.cache/stnerf_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - config name drift
+        logging.getLogger(__name__).warning("compilation cache unavailable: %s", e)
+
+
+def setup_logger(name: str = "stnerf_tpu", save_dir: str | None = None,
+                 distributed_rank: int = 0) -> logging.Logger:
+    """Stream+file logger (ref: utils/logger.py:12-30). ``distributed_rank``
+    silences non-primary hosts in multi-process runs."""
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    if distributed_rank > 0:
+        return logger
+    if not logger.handlers:
+        import sys
+        fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+        ch = logging.StreamHandler(sys.stdout)
+        ch.setFormatter(fmt)
+        logger.addHandler(ch)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(save_dir, "log.txt"), mode="w")
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger

@@ -1,0 +1,190 @@
+"""Data pipeline tests: PLY IO, camera loaders, ray generation geometry,
+the synthetic scene, caching, and the train-pool build."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stnerf_tpu.data import (FrameLayerScene, JointTransform, RenderScene,
+                             ViewScene, build_ray_pool, corners_from_minmax,
+                             load_camposes, load_intrinsics, lookat,
+                             make_synthetic_scene, pixel_rays,
+                             project_bbox_roi, read_ply_points,
+                             synthetic_cfg, write_ply_points)
+from stnerf_tpu.data.synthetic import performer_center, raycast
+from stnerf_tpu.models.layered import LayeredSpec
+
+
+class TestPly:
+    @pytest.mark.parametrize("binary", [True, False])
+    def test_roundtrip(self, tmp_path, rng, binary):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        p = str(tmp_path / "x.ply")
+        write_ply_points(p, pts, binary=binary)
+        out = read_ply_points(p)
+        np.testing.assert_allclose(out, pts, atol=1e-5)
+
+    def test_extra_properties_binary(self, tmp_path):
+        # vertex with colors: x y z r g b
+        path = str(tmp_path / "c.ply")
+        n = 5
+        with open(path, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n"
+                    b"element vertex 5\n"
+                    b"property float x\nproperty float y\nproperty float z\n"
+                    b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                    b"end_header\n")
+            dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                           ("r", "u1"), ("g", "u1"), ("b", "u1")])
+            arr = np.zeros(n, dt)
+            arr["x"] = np.arange(n)
+            f.write(arr.tobytes())
+        out = read_ply_points(path)
+        assert out.shape == (5, 3)
+        np.testing.assert_allclose(out[:, 0], np.arange(n))
+
+
+class TestCameras:
+    def test_pixel_rays_geometry(self):
+        K = np.array([[100.0, 0, 50], [0, 100, 40], [0, 0, 1]], np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        rays = pixel_rays(K, c2w, 80, 100)
+        assert rays.shape == (8000, 6)
+        # center pixel (v=40, u=50) looks straight down +z
+        center = rays[40 * 100 + 50]
+        np.testing.assert_allclose(center[:3], 0, atol=1e-6)
+        np.testing.assert_allclose(center[3:], [0, 0, 1], atol=1e-5)
+        # directions unit-norm
+        np.testing.assert_allclose(np.linalg.norm(rays[:, 3:], axis=1), 1, atol=1e-5)
+
+    def test_lookat_points_at_center(self):
+        eye = np.array([3.0, 1.0, 2.0])
+        c2w = lookat(eye, np.zeros(3), np.array([0.0, 1.0, 0.0]))
+        K = np.array([[50.0, 0, 25], [0, 50, 25], [0, 0, 1]], np.float32)
+        rays = pixel_rays(K, c2w, 50, 50)
+        center_dir = rays[25 * 50 + 25, 3:]
+        expect = -eye / np.linalg.norm(eye)
+        np.testing.assert_allclose(center_dir, expect, atol=1e-2)
+
+    def test_project_bbox_roi(self):
+        K = np.array([[100.0, 0, 50], [0, 100, 40], [0, 0, 1]], np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        corners = corners_from_minmax(np.array([-0.1, -0.1, 1.9]),
+                                      np.array([0.1, 0.1, 2.1]))
+        minh, maxh, minw, maxw = project_bbox_roi(corners, K, c2w, 80, 100)
+        assert 30 < minh < 40 < maxh < 50
+        assert 40 < minw < 50 < maxw < 60
+
+    def test_loaders_roundtrip(self, tmp_path):
+        poses = np.random.default_rng(0).normal(size=(3, 3, 4))
+        np.savetxt(tmp_path / "RT_c2w.txt", poses.reshape(3, 12))
+        Ks = np.tile(np.eye(3).reshape(1, 9), (3, 1))
+        np.savetxt(tmp_path / "K.txt", Ks)
+        T = load_camposes(str(tmp_path / "RT_c2w.txt"))
+        K = load_intrinsics(str(tmp_path / "K.txt"))
+        assert T.shape == (3, 4, 4) and K.shape == (3, 3, 3)
+        np.testing.assert_allclose(T[:, 3], [[0, 0, 0, 1]] * 3)
+        np.testing.assert_allclose(T[:, :3, :], poses, atol=1e-6)
+
+
+class TestTransforms:
+    def test_identity_resize(self):
+        t = JointTransform((30, 40), is_train=False)
+        img = np.random.default_rng(0).integers(0, 255, (60, 80, 3)).astype(np.uint8)
+        K = np.array([[100.0, 0, 40], [0, 100, 30], [0, 0, 1]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        label = np.ones((60, 80), np.uint8)
+        image, lab, K2, T2, roi = t(img, K, T, label=label)
+        assert image.shape == (3, 30, 40)
+        assert lab.shape == (1, 30, 40)
+        assert roi.shape == (1, 30, 40)
+        np.testing.assert_allclose(T2, T)
+        np.testing.assert_allclose(K2[0, 0], 50.0)  # scaled by 30/60
+        np.testing.assert_allclose(lab, 1.0)
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    make_synthetic_scene(root, width=60, height=45, num_cams=4, num_frames=2)
+    return root
+
+
+class TestSynthetic:
+    def test_layout(self, scene_root):
+        assert os.path.exists(os.path.join(scene_root, "pose", "RT_c2w.txt"))
+        assert os.path.exists(os.path.join(scene_root, "background", "0.ply"))
+        assert os.path.exists(os.path.join(scene_root, "frame1", "images", "000.png"))
+        assert os.path.exists(os.path.join(scene_root, "frame2", "labels", "003.npy"))
+        assert os.path.exists(os.path.join(scene_root, "frame1", "pointclouds", "2.ply"))
+
+    def test_labels_match_raycast(self, scene_root):
+        lab = np.load(os.path.join(scene_root, "frame1", "labels", "000.npy"))
+        assert set(np.unique(lab)) <= {0, 1, 2}
+        assert (lab > 0).any(), "performers must be visible"
+
+    def test_frame_layer_scene(self, scene_root):
+        cfg = synthetic_cfg(scene_root, 60, 45, 2)
+        t = JointTransform((45, 60), is_train=False)
+        s = FrameLayerScene(cfg, t, 1, 1)
+        c1 = performer_center(1, 1, 2)
+        assert np.linalg.norm(s.center - c1) < 0.2
+        assert (s.bbox[1] - s.bbox[0]).min() > 1.0  # ~2*radius
+        image, label, K, T, roi, bbox, near_far, ok = s.get_data(0)
+        assert ok and image.shape == (3, 45, 60)
+        assert near_far[0, 0] < near_far[0, 1]
+        # cache hit second time
+        s2 = FrameLayerScene(cfg, t, 1, 1)
+        np.testing.assert_allclose(s2.bbox, s.bbox)
+
+    def test_build_ray_pool(self, scene_root):
+        cfg = synthetic_cfg(scene_root, 60, 45, 2)
+        spec = LayeredSpec.from_cfg(cfg)
+        pool, boxes = build_ray_pool(cfg, spec, np.random.default_rng(0))
+        n = pool["rays"].shape[0]
+        assert n > 1000
+        assert pool["rays"].shape[1] == 7  # o, d, frame col
+        assert pool["rgbs"].shape == (n, 3)
+        assert pool["labels"].shape == (n, 1)
+        assert pool["near_fars"].shape == (n, 2)
+        assert boxes.shape == (2, 2, 2, 3)
+        assert (boxes[0, 0, 1] - boxes[0, 0, 0]).min() > 1.0
+        # layer-1 rays carry label 1 (label-selected)
+        l1 = pool["bbox_labels"][:, 0] == 1
+        assert (pool["labels"][l1] == 1).all()
+        # cache reload gives identical pool
+        pool2, _ = build_ray_pool(cfg, spec, np.random.default_rng(1))
+        np.testing.assert_allclose(pool2["rays"], pool["rays"])
+
+    def test_render_scene(self, scene_root):
+        cfg = synthetic_cfg(scene_root, 60, 45, 2)
+        rs = RenderScene(cfg)
+        assert rs.camera_num == 4
+        inputs = rs.rays_for_pose(rs.poses[0], rs.Ks[0], [(0, 1), (1, 2), (2, 1)])
+        assert inputs.rays_o.shape == (60 * 45, 3)
+        np.testing.assert_allclose(np.asarray(inputs.frame_ids[0]), [1, 2, 1])
+
+    def test_view_scene(self, scene_root):
+        cfg = synthetic_cfg(scene_root, 60, 45, 2)
+        vs = ViewScene(cfg)
+        inputs, rgbs, labels, image = vs.get_fixed_image(0, 0)
+        assert rgbs.shape == (60 * 45, 3)
+        assert labels.shape == (60 * 45,)
+        assert image.shape == (3, 45, 60)
+        np.testing.assert_allclose(np.asarray(inputs.frame_ids), 1.0)
+
+
+class TestRaycastConsistency:
+    def test_multiview_color_consistency(self, scene_root):
+        """The same 3-D point must have the same color from two cameras —
+        the property the radiance field needs to learn the scene."""
+        o = np.zeros((1, 3), np.float32)
+        for frame in (1, 2):
+            c = performer_center(1, frame, 2)
+            for eye in ([4.0, 0, 0], [0, 0.5, 4.0]):
+                d = (c - np.array(eye, np.float32))
+                d /= np.linalg.norm(d)
+                rgb, label, _ = raycast(np.array([eye], np.float32), d[None],
+                                        frame, 2, 2)
+                assert label[0] == 1

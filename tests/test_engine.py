@@ -1,0 +1,139 @@
+"""Engine tests: LR schedule, losses, checkpointing, and a short training
+run on a tiny model that must reduce the loss."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stnerf_tpu.engine import (latest_checkpoint, load_checkpoint,
+                               make_lr_schedule, make_optimizer,
+                               make_train_step, mask_alpha_loss,
+                               save_checkpoint)
+from stnerf_tpu.engine.trainer import TrainBatch
+from stnerf_tpu.models import EditState, init_layered_params
+from tests.test_layered import SPEC, make_rays, make_scene
+
+
+class TestLrSchedule:
+    def test_reference_shape(self):
+        # ref: solver/lr_scheduler.py:59-69
+        s = make_lr_schedule(1.0, warmup_iters=10, start_iters=100,
+                             end_iters=200, lr_scale=0.1)
+        assert float(s(0)) == pytest.approx(0.1)       # (0+1)/10
+        assert float(s(9)) == pytest.approx(1.0)       # end of warmup
+        assert float(s(50)) == pytest.approx(1.0)      # plateau
+        assert float(s(99)) == pytest.approx(0.9 * np.exp(0) + 0.1)
+        assert float(s(199)) == pytest.approx(0.9 * np.exp(-1) + 0.1, rel=1e-3)
+        # floor
+        assert float(s(10_000)) == pytest.approx(0.1, abs=1e-3)
+
+
+class TestMaskLoss:
+    def test_gating_and_scale(self):
+        n = 100
+        acc = jnp.zeros((3, n, 1))
+        labels = jnp.zeros((n,), jnp.int32)
+        # perfect separation: performer acc 0 on bkgd rays, bkgd acc 1
+        acc = acc.at[0].set(1.0)
+        assert float(mask_alpha_loss(acc, labels)) == 0.0
+        # leaky performer alpha on background rays -> gated loss appears
+        acc_bad = acc.at[1].set(0.5)
+        val = float(mask_alpha_loss(acc_bad, labels))
+        assert val == pytest.approx(0.5 * n / 1e5)
+
+    def test_below_gate_is_zero(self):
+        n = 100
+        acc = jnp.zeros((3, n, 1)).at[0].set(1.0)
+        labels = jnp.zeros((n,), jnp.int32)
+        acc = acc.at[1, 0].set(0.01)  # total 0.01 < n*5e-4
+        assert float(mask_alpha_loss(acc, labels)) == 0.0
+
+
+class TestCheckpoint:
+    def test_save_load_latest(self, tmp_path):
+        params = {"a": np.ones((2, 2), np.float32)}
+        opt = {"m": np.zeros(3, np.float32)}
+        save_checkpoint(str(tmp_path), params, opt, epoch=1)
+        save_checkpoint(str(tmp_path), params, opt, epoch=2, step=500)
+        save_checkpoint(str(tmp_path), params, opt, epoch=2)
+        path = latest_checkpoint(str(tmp_path))
+        assert path.endswith("layered_rfnr_checkpoint_2_500.ckpt")
+        blob = load_checkpoint(path)
+        assert blob["epoch"] == 2 and blob["step"] == 500
+        np.testing.assert_allclose(blob["params"]["a"], 1.0)
+
+    def test_reference_pt_roundtrip(self, tmp_path):
+        from stnerf_tpu.engine import export_reference_checkpoint
+        from stnerf_tpu.models.io_torch import load_reference_checkpoint
+
+        params = jax.device_get(init_layered_params(jax.random.PRNGKey(0), SPEC))
+        path = str(tmp_path / "layered_rfnr_checkpoint_3.pt")
+        export_reference_checkpoint(path, params, SPEC)
+        assert latest_checkpoint(str(tmp_path)) == path
+        back = load_reference_checkpoint(path, SPEC)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    atol=1e-6),
+            params, back)
+
+
+def _toy_batch(n=64):
+    inputs = make_rays(n)
+    # target: mid-gray everywhere
+    rgb = jnp.full((n, 3), 0.4)
+    labels = jnp.zeros((n,), jnp.int32)
+    return TrainBatch(inputs, rgb, labels)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WEIGHT_DECAY = 0.0
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+
+        optimizer = make_optimizer(cfg)
+        step = make_train_step(SPEC, optimizer, remove_outliers=True)
+        params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        opt_state = optimizer.init(params)
+        scene = make_scene()
+        batch = _toy_batch()
+        key = jax.random.PRNGKey(0)
+
+        losses = []
+        for i in range(15):
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = step(params, opt_state, scene, batch,
+                                              sub, jnp.asarray(1.0),
+                                              only_coarse=False)
+            losses.append(float(metrics.loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.8, losses
+
+    def test_coarse_stage_runs(self):
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        optimizer = make_optimizer(cfg)
+        step = make_train_step(SPEC, optimizer, remove_outliers=False)
+        params = init_layered_params(jax.random.PRNGKey(1), SPEC)
+        before = jax.device_get(params)  # params buffer is donated to step()
+        opt_state = optimizer.init(params)
+        p2, _, metrics = step(params, opt_state, make_scene(), _toy_batch(),
+                              jax.random.PRNGKey(2), jnp.asarray(0.0),
+                              only_coarse=True)
+        assert np.isfinite(float(metrics.loss))
+        # params actually moved
+        delta = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+                    for a, b in zip(jax.tree.leaves(before),
+                                    jax.tree.leaves(jax.device_get(p2))))
+        assert delta > 0

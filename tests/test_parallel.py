@@ -1,0 +1,101 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh: mesh construction,
+sharded training step (data-parallel + layer-parallel), and sharded chunked
+rendering agreeing with single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stnerf_tpu.engine import make_optimizer, make_train_step
+from stnerf_tpu.engine.trainer import TrainBatch
+from stnerf_tpu.models import EditState, init_layered_params, render_rays
+from stnerf_tpu.parallel import (DATA_AXIS, MODEL_AXIS, make_mesh,
+                                 pad_for_mesh, replicate, shard_params,
+                                 shard_ray_batch)
+from tests.test_layered import SPEC, make_rays, make_scene
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+class TestMesh:
+    def test_shapes(self):
+        m = make_mesh()
+        assert m.shape[DATA_AXIS] == 8 and m.shape[MODEL_AXIS] == 1
+        m2 = make_mesh(model_parallel=2)
+        assert m2.shape[DATA_AXIS] == 4 and m2.shape[MODEL_AXIS] == 2
+
+    def test_pad_for_mesh(self):
+        m = make_mesh()
+        assert pad_for_mesh(10, m) == 16
+        assert pad_for_mesh(16, m) == 16
+        assert pad_for_mesh(17, m, chunk=4) == 32
+
+    def test_shard_params_layer_axis(self):
+        m = make_mesh(model_parallel=2)
+        params = shard_params(m, init_layered_params(jax.random.PRNGKey(0), SPEC))
+        leaf = jax.tree.leaves(params["layers_coarse"])[0]
+        assert MODEL_AXIS in str(leaf.sharding.spec) or leaf.sharding.spec[0] == MODEL_AXIS
+
+
+class TestShardedTrainStep:
+    @pytest.mark.parametrize("model_parallel", [1, 2])
+    def test_step_runs_and_matches_semantics(self, model_parallel):
+        mesh = make_mesh(model_parallel=model_parallel)
+        optimizer = make_optimizer(_cfg())
+        step = make_train_step(SPEC, optimizer, remove_outliers=True)
+
+        params = shard_params(mesh, init_layered_params(jax.random.PRNGKey(0), SPEC))
+        scene = replicate(mesh, make_scene())
+        n = 64
+        batch = TrainBatch(shard_ray_batch(mesh, make_rays(n)),
+                           shard_ray_batch(mesh, jnp.full((n, 3), 0.4)),
+                           shard_ray_batch(mesh, jnp.zeros((n,), jnp.int32)))
+        before = jax.device_get(params)  # params buffer is donated to step()
+        opt_state = optimizer.init(params)
+        with jax.sharding.set_mesh(mesh):
+            p2, _, metrics = step(params, opt_state, scene, batch,
+                                  jax.random.PRNGKey(0), jnp.asarray(1.0),
+                                  only_coarse=False)
+        assert np.isfinite(float(metrics.loss))
+        delta = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+                    for a, b in zip(jax.tree.leaves(before),
+                                    jax.tree.leaves(jax.device_get(p2))))
+        assert delta > 0
+
+
+class TestShardedRender:
+    def test_matches_single_device(self):
+        from stnerf_tpu.render.chunked import render_rays_chunked
+
+        params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        scene = make_scene()
+        inputs = make_rays(48)
+        edits = EditState.identity(2)
+
+        single = render_rays_chunked(params, SPEC, scene, inputs, edits, chunk=16)
+        mesh = make_mesh()
+        sharded = render_rays_chunked(shard_params(mesh, params), SPEC,
+                                      replicate(mesh, scene), inputs, edits,
+                                      chunk=16, mesh=mesh)
+        np.testing.assert_allclose(sharded.fine.color, single.fine.color,
+                                   atol=1e-5)
+        np.testing.assert_allclose(sharded.fine_layers.acc, single.fine_layers.acc,
+                                   atol=1e-5)
+
+
+def _cfg():
+    from stnerf_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    return cfg
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)

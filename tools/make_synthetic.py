@@ -1,0 +1,36 @@
+"""Generate the synthetic validation scene (reference dataset layout).
+
+Usage: python tools/make_synthetic.py --root data/synthetic
+       [--width 200 --height 150 --cams 12 --frames 5 --layers 2]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="data/synthetic")
+    p.add_argument("--width", type=int, default=200)
+    p.add_argument("--height", type=int, default=150)
+    p.add_argument("--cams", type=int, default=12)
+    p.add_argument("--frames", type=int, default=5)
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from stnerf_tpu.data import make_synthetic_scene
+
+    make_synthetic_scene(args.root, width=args.width, height=args.height,
+                         num_cams=args.cams, num_frames=args.frames,
+                         layer_num=args.layers, seed=args.seed)
+    print(f"synthetic scene written to {args.root}: {args.cams} cams x "
+          f"{args.frames} frames x {args.layers}+1 layers at "
+          f"{args.width}x{args.height}")
+
+
+if __name__ == "__main__":
+    main()
