@@ -38,10 +38,9 @@ def main():
     import jax.numpy as jnp
 
     from stnerf_tpu.config import get_cfg
-    from stnerf_tpu.models import (EditState, RayInputs, SceneBoxes,
-                                   init_layered_params)
+    from stnerf_tpu.models import EditState, SceneBoxes, init_layered_params
     from stnerf_tpu.models.layered import LayeredSpec
-    from stnerf_tpu.render.chunked import render_rays_chunked
+    from stnerf_tpu.render.pose_device import render_pose_host
 
     cfg = get_cfg()
     cfg.DATASETS.LAYER_NUM = 2
@@ -62,29 +61,26 @@ def main():
         bkgd_near_far=jnp.array([0.5, 16.0]))
 
     n = WIDTH * HEIGHT
-    rng = np.random.default_rng(0)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d[:, 2] += 2.0
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    inputs = RayInputs(
-        rays_o=jnp.asarray(np.tile(np.array([[0, 0, -5.0]], np.float32), (n, 1))),
-        rays_d=jnp.asarray(d),
-        frame_ids=jnp.ones((n, 3), jnp.float32),
-        cam_ids=jnp.zeros((n,), jnp.float32),
-        near_far=jnp.tile(jnp.array([[0.5, 16.0]], jnp.float32), (n, 1)))
-
+    f = 0.9 * WIDTH
+    K = np.array([[f, 0, WIDTH / 2], [0, f, HEIGHT / 2], [0, 0, 1]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0, 0, -5.0]
+    frame_ids = np.ones(3, np.float32)
+    near_far = np.array([0.5, 16.0], np.float32)
     edits = EditState.identity(spec.layer_num)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile on one chunk
-    warm = jax.tree.map(lambda x: x[:CHUNK], inputs)
-    warm = RayInputs(*warm)
+    def frame():
+        return render_pose_host(params, spec, scene, K, c2w, frame_ids,
+                                near_far, edits, HEIGHT, WIDTH, chunk=CHUNK,
+                                key=key)
+
     t0 = time.time()
-    render_rays_chunked(params, spec, scene, warm, edits, chunk=CHUNK, key=key)
+    frame()
     compile_s = time.time() - t0
 
     t0 = time.time()
-    render_rays_chunked(params, spec, scene, inputs, edits, chunk=CHUNK, key=key)
+    frame()
     frame_s = time.time() - t0
 
     rays_per_s = n / frame_s

@@ -52,6 +52,10 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     static (two compiled variants); ``mask_on`` is a traced 0/1 scalar so
     epoch scheduling does not retrigger compilation."""
 
+    import dataclasses
+
+    # the fused Pallas forward has no VJP yet; training uses the XLA path
+    spec = dataclasses.replace(spec, use_pallas=False)
     edits = EditState.identity(spec.layer_num)
 
     @functools.partial(jax.jit, static_argnames=("only_coarse",),

@@ -47,8 +47,10 @@ def _bias(p):
 def prepare_kernel_params(params: dict, spec, dtype=jnp.bfloat16):
     """Flatten a SpaceNet param pytree into the kernel operand list.
 
-    Returns a tuple of arrays; the stage2/rgb first-layer weights are split
-    at the concat boundaries. Order must match ``_kernel``'s argument order.
+    ``spec`` is a models.spacenet.SpaceNetSpec. Returns a tuple of arrays;
+    the stage2/rgb first-layer weights are split at the concat boundaries.
+    Order must match ``_kernel``'s argument order. Pure slicing/casting —
+    safe to trace inside jit (fuses into the surrounding program).
     """
     W = spec.backbone_dim
     s1 = params["stage1"]
@@ -133,23 +135,24 @@ def _pad_rows(x, m):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype", "interpret", "tile"))
 def fused_spacenet(kparams, spec, pos_enc, dir_enc, time_enc=None,
-                   interpret: bool = False):
+                   compute_dtype: str = "bfloat16", interpret: bool = False,
+                   tile: int = TILE):
     """Evaluate one SpaceNet. pos_enc (M, pos_dim), dir_enc (M, dir_dim),
     time_enc (M, time_dim) or None -> (rgb (M, 3), sigma (M,))."""
     m = pos_enc.shape[0]
     if time_enc is None:
         time_enc = jnp.zeros((m, 1), pos_enc.dtype)
-    pos_p = _pad_rows(pos_enc, TILE)
-    dir_p = _pad_rows(dir_enc, TILE)
-    time_p = _pad_rows(time_enc, TILE)
+    pos_p = _pad_rows(pos_enc, tile)
+    dir_p = _pad_rows(dir_enc, tile)
+    time_p = _pad_rows(time_enc, tile)
     mp = pos_p.shape[0]
     n_rgb = 4 if spec.deep_rgb else 2
-    dtype = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     def tile_spec(width):
-        return pl.BlockSpec((TILE, width), lambda i: (i, 0),
+        return pl.BlockSpec((tile, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -160,9 +163,9 @@ def fused_spacenet(kparams, spec, pos_enc, dir_enc, time_enc=None,
                      + 2 * 256 * 256 + 256 + 300 * 128 + (n_rgb - 1) * 128 * 128)
     out = pl.pallas_call(
         functools.partial(_kernel, n_rgb, dtype),
-        grid=(mp // TILE,),
+        grid=(mp // tile,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, 4), jnp.float32),
         cost_estimate=pl.CostEstimate(flops=flops_per * mp,
@@ -173,13 +176,128 @@ def fused_spacenet(kparams, spec, pos_enc, dir_enc, time_enc=None,
     return out[:m, 0:3], out[:m, 3]
 
 
+# ---------------------------------------------------------------------------
+# Feature-major (planar) variant — the production path.
+#
+# Operands are (features, M): the big sample axis M lives on the TPU lane
+# dimension, so nothing is tile-padded (a (M, 3)/(M, 4) row-major tensor pads
+# 32-43x in HBM). Matmuls contract the leading feature axis: y = w^T x.
+# ---------------------------------------------------------------------------
+
+def _mmT(w, x, b=None):
+    """w: (in, out), x: (in, tile) -> (out, tile) [+ b (out, 1)]."""
+    y = jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _kernel_planar(n_rgb_layers, dtype,
+                   pos_ref, dir_ref, time_ref,
+                   w1, b1, w2, b2, w3, b3, w4, b4,
+                   s2a, s2b, sb1, s2w2, sb2, s2w3, sb3,
+                   dw, db, r1a, r1b, r1c, rb1, *rest_and_out):
+    *rgb_rest, out_ref = rest_and_out
+    relu = jax.nn.relu
+
+    p = pos_ref[...].astype(dtype)                       # (pos_dim, tile)
+    x = relu(_mmT(w1[...], p, b1[...])).astype(dtype)
+    x = relu(_mmT(w2[...], x, b2[...])).astype(dtype)
+    x = relu(_mmT(w3[...], x, b3[...])).astype(dtype)
+    x = relu(_mmT(w4[...], x, b4[...])).astype(dtype)
+    x = relu(_mmT(s2a[...], x) + _mmT(s2b[...], p) + sb1[...]).astype(dtype)
+    x = relu(_mmT(s2w2[...], x, sb2[...])).astype(dtype)
+    x = relu(_mmT(s2w3[...], x, sb3[...])).astype(dtype)
+
+    sigma = _mmT(dw[...], x, db[...])                    # (1, tile)
+
+    h = _mmT(r1a[...], relu(x))
+    h = h + _mmT(r1b[...], relu(dir_ref[...].astype(dtype)))
+    h = h + _mmT(r1c[...], relu(time_ref[...].astype(dtype)))
+    h = relu(h + rb1[...]).astype(dtype)
+    for i in range(n_rgb_layers - 1):
+        w, b = rgb_rest[2 * i], rgb_rest[2 * i + 1]
+        h = _mmT(w[...], h, b[...])
+        if i < n_rgb_layers - 2:
+            h = relu(h).astype(dtype)
+
+    out_ref[0:3, :] = h.astype(jnp.float32)
+    out_ref[3:4, :] = sigma.astype(jnp.float32)
+
+
+def prepare_kernel_params_planar(params: dict, spec, dtype=jnp.bfloat16):
+    """Same operand list as :func:`prepare_kernel_params` but biases shaped
+    (out, 1) for column broadcast in the feature-major kernel."""
+    ops = prepare_kernel_params(params, spec, dtype)
+    return tuple(op[:, None] if op.ndim == 1 else op for op in ops)
+
+
+def _pad_cols(x, m):
+    r = (-x.shape[-1]) % m
+    if r:
+        x = jnp.concatenate([x, jnp.zeros((*x.shape[:-1], r), x.dtype)], -1)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype",
+                                              "interpret", "tile"))
+def fused_spacenet_planar(kparams, spec, pos_enc, dir_enc, time_enc=None,
+                          compute_dtype: str = "bfloat16",
+                          interpret: bool = False, tile: int = 2048):
+    """Feature-major fused evaluation.
+
+    pos_enc (pos_dim, M), dir_enc (dir_dim, M), time_enc (time_dim, M)|None
+    -> (rgb (3, M), sigma (M,)). ``kparams`` from
+    :func:`prepare_kernel_params_planar`.
+    """
+    m = pos_enc.shape[-1]
+    if time_enc is None:
+        time_enc = jnp.zeros((1, m), pos_enc.dtype)
+    pos_p = _pad_cols(pos_enc, tile)
+    dir_p = _pad_cols(dir_enc, tile)
+    time_p = _pad_cols(time_enc, tile)
+    mp = pos_p.shape[-1]
+    n_rgb = 4 if spec.deep_rgb else 2
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def tile_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [tile_spec(pos_p.shape[0]), tile_spec(dir_p.shape[0]),
+                tile_spec(time_p.shape[0])] + [full] * len(kparams)
+
+    W = spec.backbone_dim
+    flops_per = 2 * (spec.pos_dim * W * 2 + 5 * W * W + W
+                     + (W + spec.dir_dim + spec.time_dim) * 128
+                     + (n_rgb - 1) * 128 * 128)
+    out = pl.pallas_call(
+        functools.partial(_kernel_planar, n_rgb, dtype),
+        grid=(mp // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * mp,
+            bytes_accessed=mp * 4 * (spec.pos_dim + spec.dir_dim + 8),
+            transcendentals=0),
+        interpret=interpret,
+    )(pos_p, dir_p, time_p, *kparams)
+    return out[0:3, :m], out[3, :m]
+
+
 def fused_spacenet_stacked(kparams_stacked, spec, pos_enc, dir_enc,
-                           time_enc=None, interpret: bool = False):
+                           time_enc=None, compute_dtype: str = "bfloat16",
+                           interpret: bool = False):
     """Stacked-layer variant: every operand of ``kparams_stacked`` carries a
     leading layer axis; pos_enc (L, M, pos_dim). Evaluated through vmap —
     Mosaic turns the batched grid into a (layer, tile) loop with the right
     weight block per layer."""
-    f = functools.partial(fused_spacenet, spec=spec, interpret=interpret)
+    f = functools.partial(fused_spacenet, spec=spec,
+                          compute_dtype=compute_dtype, interpret=interpret)
     if time_enc is None:
         return jax.vmap(lambda kp, p, d: f(kp, pos_enc=p, dir_enc=d)
                         )(kparams_stacked, pos_enc, dir_enc)

@@ -49,10 +49,13 @@ import jax.numpy as jnp
 
 from ..ops.sampling import (ray_aabb_intersect, sample_pdf,
                             stratified_between, stratified_near_far)
-from ..ops.volume import merge_layers, sort_merge_t, volume_render
+from ..ops.volume import (merge_layers_planar, sort_merge_t,
+                          volume_render_planar)
 from .camera import apply_camera_transform, init_camera_transform
-from .motionnet import MotionNetSpec, apply_motionnet, init_motionnet
-from .spacenet import SpaceNetSpec, apply_spacenet, init_spacenet
+from .motionnet import (MotionNetSpec, apply_motionnet,
+                        apply_motionnet_planar, init_motionnet)
+from .spacenet import (SpaceNetSpec, apply_spacenet, apply_spacenet_planar,
+                       init_spacenet)
 
 
 # ---------------------------------------------------------------------------
@@ -83,6 +86,7 @@ class LayeredSpec:
     motion_dim: int = 128
     camera_num: int = 0
     compute_dtype: str = "float32"     # matmul dtype ("bfloat16" | "float32")
+    use_pallas: bool = False           # fused field-eval kernel (TPU only)
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -109,6 +113,7 @@ class LayeredSpec:
             motion_dim=m.MOTION_DIM,
             camera_num=camera_num,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+            use_pallas=cfg.TPU.USE_PALLAS,
         )
 
     def spacenet_spec(self, bkgd: bool) -> SpaceNetSpec:
@@ -282,28 +287,87 @@ def _edit_boxes(boxes: jnp.ndarray, edits: EditState) -> jnp.ndarray:
 
 def _inverse_edit_points(xyz: jnp.ndarray, edits: EditState) -> jnp.ndarray:
     """Map edited-space sample points back into each layer's canonical field
-    space (ref: layered_rfrender.py:293-303). xyz: (L+1, N, S, 3)."""
-    xyz = xyz - edits.shift[:, None, None, :]
-    pivot = edits.scale_pivot
+    space (ref: layered_rfrender.py:293-303).
+
+    Planar layout: xyz is (L+1, 3, N, S) — channels lead so no TPU tile
+    padding on the coordinate axis.
+    """
+    xyz = xyz - edits.shift[:, :, None, None]
+    pivot = edits.scale_pivot[None, :, None, None]
     s = edits.scale[:, None, None, None]
     return (xyz - pivot) / s + pivot
 
 
-def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
-                 dirs: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool):
-    """Evaluate background + stacked performer fields.
+def _eval_fields_pallas(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
+                        dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool):
+    """Fused-kernel field evaluation (see kernels.fused_spacenet): planar
+    encodings in XLA, the full MLP stack in one VMEM-resident feature-major
+    Pallas kernel per field. xyz: (L+1, 3, N, S), dirs_p: (3, N)."""
+    from ..kernels.fused_spacenet import (fused_spacenet_planar,
+                                          prepare_kernel_params_planar)
+    from ..ops.encoding import positional_encoding_planar as pe
 
-    xyz: (L+1, N, S, 3) canonical-space samples, dirs: (N, 3),
-    frame_ids: (N, L+1). Returns rgb (L+1, N, S, 3), sigma (L+1, N, S).
-    """
-    N, S = xyz.shape[1], xyz.shape[2]
-    dt = spec.dtype
-    dirs_b = jnp.broadcast_to(dirs[:, None, :], (N, S, 3))
+    lp1, _, N, S = xyz.shape
+    M = N * S
+    inc = spec.include_input
+    sn_b = spec.spacenet_spec(bkgd=True)
+    sn_l = spec.spacenet_spec(bkgd=False)
+
+    dir_enc = pe(dirs_p, sn_b.dir_freqs, inc)  # (dir_dim, N)
+    dir_b = jnp.broadcast_to(dir_enc[:, :, None],
+                             (dir_enc.shape[0], N, S)).reshape(-1, M)
+
+    def time_feat(sspec, ids):
+        if not sspec.use_time:
+            return None
+        te = pe(ids[None, :], sspec.time_freqs, inc)  # (time_dim, N)
+        return jnp.broadcast_to(te[:, :, None], (te.shape[0], N, S)).reshape(-1, M)
+
+    def run(net_params, sspec, x, t_ids):
+        kp = prepare_kernel_params_planar(net_params, sspec,
+                                   jnp.bfloat16 if spec.compute_dtype == "bfloat16"
+                                   else jnp.float32)
+        rgb, sig = fused_spacenet_planar(
+            kp, sspec, pe(x, sspec.pos_freqs, inc).reshape(-1, M),
+            dir_b, time_feat(sspec, t_ids), compute_dtype=spec.compute_dtype)
+        return rgb.reshape(3, N, S), sig.reshape(N, S)
 
     bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
-    bkgd_t = jnp.broadcast_to(frame_ids[:, 0:1], (N, S)) if spec.bkgd_use_space_time else None
-    rgb0, sig0 = apply_spacenet(params[bkgd_key], spec.spacenet_spec(bkgd=True),
-                                xyz[0], dirs_b, bkgd_t, dt)
+    rgb0, sig0 = run(params[bkgd_key], sn_b, xyz[0], frame_ids[:, 0])
+    rgbs, sigs = [rgb0], [sig0]
+
+    if spec.layer_num:
+        if fine and not spec.same_spacenet:
+            layer_params = params["layers_fine"]
+        else:
+            layer_params = params["layers_coarse"]
+        for i in range(spec.layer_num):  # static, small: separate kernels
+            p_i = jax.tree.map(lambda x: x[i], layer_params)
+            r, s = run(p_i, sn_l, xyz[i + 1], frame_ids[:, i + 1])
+            rgbs.append(r)
+            sigs.append(s)
+    return jnp.stack(rgbs), jnp.stack(sigs)
+
+
+def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
+                 dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool):
+    """Evaluate background + stacked performer fields.
+
+    Planar layout: xyz (L+1, 3, N, S) canonical-space samples, dirs_p (3, N),
+    frame_ids (N, L+1). Returns rgb (L+1, 3, N, S), sigma (L+1, N, S).
+    """
+    if spec.use_pallas and jax.default_backend() == "tpu":
+        return _eval_fields_pallas(params, spec, xyz, dirs_p, frame_ids, fine)
+    _, _, N, S = xyz.shape
+    dt = spec.dtype
+    dirs_b = jnp.broadcast_to(dirs_p[:, :, None], (3, N, S))
+
+    bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
+    bkgd_t = (jnp.broadcast_to(frame_ids[:, 0][:, None], (N, S))
+              if spec.bkgd_use_space_time else None)
+    rgb0, sig0 = apply_spacenet_planar(params[bkgd_key],
+                                       spec.spacenet_spec(bkgd=True),
+                                       xyz[0], dirs_b, bkgd_t, dt)
 
     if spec.layer_num == 0:
         return rgb0[None], sig0[None]
@@ -317,7 +381,7 @@ def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
                if spec.use_space_time else None)
 
     def one_layer(p, x, t):
-        return apply_spacenet(p, l_spec, x, dirs_b, t, dt)
+        return apply_spacenet_planar(p, l_spec, x, dirs_b, t, dt)
 
     in_axes = (0, 0, 0 if l_times is not None else None)
     rgb_l, sig_l = jax.vmap(one_layer, in_axes=in_axes)(layer_params, xyz[1:], l_times)
@@ -329,30 +393,32 @@ def _deform(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
             frame_ids: jnp.ndarray, cam_ids: jnp.ndarray) -> jnp.ndarray:
     """Apply view/time deformation flows to sample points.
 
-    xyz: (L+1, N, S, 3). Performer layers use their own MotionNet with the
-    per-layer frame id (ref: layered_rfrender.py:340-368); the background
+    xyz: (L+1, 3, N, S) planar. Performer layers use their own MotionNet with
+    the per-layer frame id (ref: layered_rfrender.py:340-368); the background
     optionally has its own; the view-deform net applies to every layer with
     the camera id (ref: layered_rfrender.py:323-329).
     """
-    lp1, N, S = xyz.shape[0], xyz.shape[1], xyz.shape[2]
+    lp1, _, N, S = xyz.shape
     dt = spec.dtype
 
     if spec.use_deform_view:
         v_spec = spec.motion_spec(input_time=False)
         ids = jnp.broadcast_to(cam_ids[None, :, None], (lp1, N, S))
-        xyz = xyz + apply_motionnet(params["view_deform"], v_spec, xyz, ids, dt)
+        flow = jax.vmap(lambda x, t: apply_motionnet_planar(
+            params["view_deform"], v_spec, x, t, dt))(xyz, ids)
+        xyz = xyz + flow
 
     if spec.use_deform_time and spec.layer_num:
         m_spec = spec.motion_spec(input_time=True)
         ids = jnp.broadcast_to(frame_ids.T[1:, :, None], (spec.layer_num, N, S))
-        flow = jax.vmap(lambda p, x, t: apply_motionnet(p, m_spec, x, t, dt)
+        flow = jax.vmap(lambda p, x, t: apply_motionnet_planar(p, m_spec, x, t, dt)
                         )(params["motion"], xyz[1:], ids)
         xyz = xyz.at[1:].add(flow)
 
     if spec.bkgd_use_deform_time:
         b_spec = spec.motion_spec(input_time=False)
         ids = jnp.broadcast_to(frame_ids[:, 0][:, None], (N, S))
-        flow = apply_motionnet(params["bkgd_motion"], b_spec, xyz[0], ids, dt)
+        flow = apply_motionnet_planar(params["bkgd_motion"], b_spec, xyz[0], ids, dt)
         xyz = xyz.at[0].add(flow)
     return xyz
 
@@ -445,19 +511,24 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     else:
         key_c = key_f = None
 
+    # planar ray frames: (3, N) — coordinates lead, no tile padding
+    o_p = rays_o.T
+    d_p = rays_d.T
+
     # --- coarse stage ---
     t_c, hit = _coarse_sample(spec, scene, inputs, boxes_all, key_c)  # (L+1,N,S1)
     t_c = jax.lax.stop_gradient(t_c)
-    xyz = rays_o[None, :, None, :] + t_c[..., None] * rays_d[None, :, None, :]
-    xyz = _inverse_edit_points(xyz, edits)
+    xyz = o_p[None, :, :, None] + t_c[:, None, :, :] * d_p[None, :, :, None]
+    xyz = _inverse_edit_points(xyz, edits)                    # (L+1, 3, N, S1)
     xyz = _deform(params, spec, xyz, inputs.frame_ids, inputs.cam_ids)
-    rgb_c, sig_c = _eval_fields(params, spec, xyz, rays_d, inputs.frame_ids, fine=False)
+    rgb_c, sig_c = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids, fine=False)
     sig_c = _mask_sigma_coarse(spec, sig_c, t_c, hit, edits)
 
-    per_layer_c = jax.vmap(lambda t, r, s: volume_render(t, r, s, bw))(t_c, rgb_c, sig_c)
+    per_layer_c = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
+                           )(t_c, rgb_c, sig_c)
     coarse_layers = LayerOutputs(per_layer_c.color, per_layer_c.depth, per_layer_c.acc)
-    t_m, rgb_m, sig_m = merge_layers(t_c, rgb_c, sig_c)
-    mixed_c = volume_render(t_m, rgb_m, sig_m, bw)
+    t_m, rgb_m, sig_m = merge_layers_planar(t_c, rgb_c, sig_c)
+    mixed_c = volume_render_planar(t_m, rgb_m, sig_m, bw)
     coarse = LayerOutputs(mixed_c.color, mixed_c.depth, mixed_c.acc)
 
     if only_coarse:
@@ -475,18 +546,19 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
         t_f.append(sort_merge_t(t_c[i], jax.lax.stop_gradient(z_new)))
     t_f = jnp.stack(t_f)  # (L+1, N, S1+S2)
 
-    xyz_f = rays_o[None, :, None, :] + t_f[..., None] * rays_d[None, :, None, :]
+    xyz_f = o_p[None, :, :, None] + t_f[:, None, :, :] * d_p[None, :, :, None]
     xyz_f = _inverse_edit_points(xyz_f, edits)
     xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids, inputs.cam_ids)
-    rgb_f, sig_f = _eval_fields(params, spec, xyz_f, rays_d, inputs.frame_ids, fine=True)
+    rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids, fine=True)
     sig_f = _mask_sigma_fine(spec, sig_f, hit, edits)
 
-    per_layer_f = jax.vmap(lambda t, r, s: volume_render(t, r, s, bw))(t_f, rgb_f, sig_f)
+    per_layer_f = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
+                           )(t_f, rgb_f, sig_f)
     fine_layers = LayerOutputs(per_layer_f.color, per_layer_f.depth, per_layer_f.acc)
 
-    t_mf, rgb_mf, sig_mf = merge_layers(t_f, rgb_f, sig_f)
+    t_mf, rgb_mf, sig_mf = merge_layers_planar(t_f, rgb_f, sig_f)
     sig_mf = jnp.where(t_mf >= edits.near, sig_mf, 0.0)  # ref: :605
-    mixed_f = volume_render(t_mf, rgb_mf, sig_mf, bw)
+    mixed_f = volume_render_planar(t_mf, rgb_mf, sig_mf, bw)
     fine = LayerOutputs(mixed_f.color, mixed_f.depth, mixed_f.acc)
 
     return RenderOutputs(fine, coarse, fine_layers, coarse_layers, hit)

@@ -54,3 +54,28 @@ def mlp(params: list, x: jnp.ndarray, dtype=None,
         if i < n - 1 or final_activation:
             x = jax.nn.relu(x)
     return x
+
+
+# -- planar (feature-leading) variants ---------------------------------------
+# Activations are (features, ...batch) so the big batch axes stay on the TPU
+# lane/sublane dims — no tile padding for small feature counts.
+
+def linear_planar(p: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """y = w^T @ x + b[:, None]; x: (in, M) -> (out, M)."""
+    w, b = p["w"], p["b"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return y + b.astype(y.dtype).reshape(b.shape[0], *([1] * (y.ndim - 1)))
+
+
+def mlp_planar(params: list, x: jnp.ndarray, dtype=None,
+               final_activation: bool = False) -> jnp.ndarray:
+    n = len(params)
+    for i, p in enumerate(params):
+        x = linear_planar(p, x, dtype)
+        if i < n - 1 or final_activation:
+            x = jax.nn.relu(x)
+    return x

@@ -19,8 +19,10 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops.encoding import encoding_dim, lerp_encoded_time, positional_encoding
-from .mlp import init_mlp, mlp
+from ..ops.encoding import (encoding_dim, lerp_encoded_time,
+                            lerp_encoded_time_planar, positional_encoding,
+                            positional_encoding_planar)
+from .mlp import init_mlp, mlp, mlp_planar
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,3 +52,14 @@ def apply_motionnet(params: dict, spec: MotionNetSpec, xyz: jnp.ndarray,
         enc = positional_encoding(jnp.concatenate([xyz, ids[..., None]], axis=-1),
                                   spec.freqs, spec.include_input)
     return mlp(params["net"], enc, dtype).astype(jnp.float32)
+
+
+def apply_motionnet_planar(params: dict, spec: MotionNetSpec, xyz: jnp.ndarray,
+                           ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Channel-leading variant: xyz (3, ...), ids (...) -> flow (3, ...)."""
+    if spec.input_time:
+        enc = lerp_encoded_time_planar(xyz, ids, spec.freqs, spec.include_input)
+    else:
+        enc = positional_encoding_planar(jnp.concatenate([xyz, ids[None]], axis=0),
+                                         spec.freqs, spec.include_input)
+    return mlp_planar(params["net"], enc, dtype).astype(jnp.float32)

@@ -26,8 +26,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops.encoding import encoding_dim, positional_encoding
-from .mlp import init_mlp, linear, mlp
+from ..ops.encoding import (encoding_dim, positional_encoding,
+                            positional_encoding_planar)
+from .mlp import init_mlp, linear, linear_planar, mlp, mlp_planar
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,4 +95,36 @@ def apply_spacenet(params: dict, spec: SpaceNetSpec, pos: jnp.ndarray,
                                          spec.include_input).astype(x.dtype))
     h = jax.nn.relu(jnp.concatenate(feats, axis=-1))
     rgb = mlp(params["rgb"], h, dtype)
+    return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
+
+
+def apply_spacenet_planar(params: dict, spec: SpaceNetSpec, pos: jnp.ndarray,
+                          dirs: jnp.ndarray | None, times: jnp.ndarray | None,
+                          dtype=None):
+    """Channel-leading evaluation (the TPU-fast layout; see
+    ops.encoding.positional_encoding_planar).
+
+    pos: (3, ...) sample positions; dirs: (3, ...) directions broadcast to
+    the sample shape (or None); times: (...,) frame ids (or None).
+    Returns (rgb (3, ...), sigma (...,)) — identical math to
+    :func:`apply_spacenet`, transposed layout.
+    """
+    p_enc = positional_encoding_planar(pos, spec.pos_freqs, spec.include_input)
+    x = mlp_planar(params["stage1"], p_enc, dtype, final_activation=True)
+    x = mlp_planar(params["stage2"],
+                   jnp.concatenate([x, p_enc.astype(x.dtype)], axis=0),
+                   dtype, final_activation=True)
+    sigma = linear_planar(params["density"][0], x, dtype)[0]
+
+    feats = [x]
+    if spec.use_dir:
+        assert dirs is not None
+        feats.append(positional_encoding_planar(dirs, spec.dir_freqs,
+                                                spec.include_input).astype(x.dtype))
+    if spec.use_time:
+        assert times is not None
+        feats.append(positional_encoding_planar(times[None], spec.time_freqs,
+                                                spec.include_input).astype(x.dtype))
+    h = jax.nn.relu(jnp.concatenate(feats, axis=0))
+    rgb = mlp_planar(params["rgb"], h, dtype)
     return rgb.astype(jnp.float32), sigma.astype(jnp.float32)

@@ -31,14 +31,48 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int, include_input: bool = Tr
     """
     if num_freqs == 0:
         return x if include_input else x[..., :0]
-    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)  # (L,)
-    xb = x[..., None, :] * freqs[:, None]                # (..., L, d)
-    # (..., L, 2, d): sin then cos per frequency, then flatten to (..., 2Ld)
-    enc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)
-    enc = enc.reshape(*x.shape[:-1], 2 * num_freqs * x.shape[-1])
-    if include_input:
-        enc = jnp.concatenate([x, enc], axis=-1)
-    return enc
+    # Concatenation form: a stack+reshape over minor dims compiles to layout
+    # transposes that are catastrophically slow on TPU at NeRF sample counts;
+    # a flat concat of (..., d) pieces lowers to pure VPU code.
+    pieces = [x] if include_input else []
+    for i in range(num_freqs):
+        xf = x * jnp.asarray(2.0**i, x.dtype)
+        pieces.append(jnp.sin(xf))
+        pieces.append(jnp.cos(xf))
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def positional_encoding_planar(x: jnp.ndarray, num_freqs: int,
+                               include_input: bool = True) -> jnp.ndarray:
+    """Channel-leading encoding: (C, ...) -> (C * (include + 2L), ...).
+
+    TPU tiles the last two axes; tensors with a tiny trailing channel axis
+    (e.g. (M, 3)) are padded up to 43x in HBM. Keeping channels on the
+    *leading* axis makes every intermediate (C', N, S)-shaped with large
+    minor dims — no padding. Channel order matches
+    :func:`positional_encoding` ([x | sin(f0 x) | cos(f0 x) | ...]).
+    """
+    if num_freqs == 0:
+        return x if include_input else x[:0]
+    pieces = [x] if include_input else []
+    for i in range(num_freqs):
+        xf = x * jnp.asarray(2.0**i, x.dtype)
+        pieces.append(jnp.sin(xf))
+        pieces.append(jnp.cos(xf))
+    return jnp.concatenate(pieces, axis=0)
+
+
+def lerp_encoded_time_planar(xyz: jnp.ndarray, t: jnp.ndarray, num_freqs: int,
+                             include_input: bool = True) -> jnp.ndarray:
+    """Planar variant of :func:`lerp_encoded_time`: xyz (C, ...), t (...)
+    -> ((C+1)*(include+2L), ...)."""
+    lower = jnp.floor(t)
+    w = t - lower
+    e_lo = positional_encoding_planar(
+        jnp.concatenate([xyz, lower[None]], axis=0), num_freqs, include_input)
+    e_hi = positional_encoding_planar(
+        jnp.concatenate([xyz, (lower + 1.0)[None]], axis=0), num_freqs, include_input)
+    return (1.0 - w) * e_lo + w * e_hi
 
 
 def lerp_encoded_time(xyz: jnp.ndarray, t: jnp.ndarray, num_freqs: int,

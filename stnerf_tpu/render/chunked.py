@@ -1,10 +1,15 @@
 """Chunked full-image rendering driver.
 
-Replaces the reference's python chunk loop (ref: utils/batchify_rays.py:51-140)
-with a single jit-compiled fixed-size chunk program: rays are padded to a
-chunk multiple (static shapes -> one compilation), streamed through the
-device, and stitched on host. With a multi-device mesh each chunk is sharded
-across the ``data`` axis.
+Replaces the reference's host-side python chunk loop
+(ref: utils/batchify_rays.py:51-140) with a single device program: rays are
+padded and reshaped to (n_chunks, chunk, ...) and a ``lax.map`` streams the
+fixed-size chunks through the render core *entirely on device* — one host
+upload and one download per frame instead of per chunk (host<->TPU transfers
+through this environment's tunnel cost ~1s per chunk, dwarfing compute).
+
+With a multi-device mesh the per-chunk ray axis is sharded across the
+``data`` axis; parameters are replicated, so no collectives appear in the
+forward pass at all.
 """
 
 from __future__ import annotations
@@ -17,9 +22,27 @@ import numpy as np
 
 from ..models import EditState, RayInputs, RenderOutputs, SceneBoxes, render_rays
 from ..models.layered import LayeredSpec
-from ..parallel import batch_sharding
+from ..parallel import DATA_AXIS
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "only_coarse"))
+def _render_frame(params, spec: LayeredSpec, scene, chunked_inputs, edits,
+                  key, only_coarse=False):
+    """chunked_inputs leaves are (n_chunks, chunk, ...)."""
+    n_chunks = chunked_inputs.rays_o.shape[0]
+    keys = (jax.random.split(key, n_chunks) if key is not None
+            else jnp.zeros((n_chunks, 2), jnp.uint32))
+
+    def one(args):
+        inp, k = args
+        kk = None if key is None else k
+        return render_rays(params, spec, scene, inp, edits, kk,
+                           only_coarse=only_coarse)
+
+    return jax.lax.map(one, (chunked_inputs, keys))
+
+
+# kept for compile-cache continuity and tests that drive one chunk directly
 @functools.partial(jax.jit, static_argnames=("spec", "only_coarse"))
 def _render_chunk(params, spec: LayeredSpec, scene, inputs, edits, key,
                   only_coarse=False):
@@ -35,8 +58,7 @@ def render_rays_chunked(params, spec: LayeredSpec, scene: SceneBoxes,
     edits = edits if edits is not None else EditState.identity(spec.layer_num)
     n = int(inputs.rays_o.shape[0])
     if mesh is not None:
-        # chunk must split evenly across the data axis
-        d = mesh.shape["data"]
+        d = mesh.shape[DATA_AXIS]
         chunk = ((chunk + d - 1) // d) * d
     n_pad = ((n + chunk - 1) // chunk) * chunk
 
@@ -44,31 +66,28 @@ def render_rays_chunked(params, spec: LayeredSpec, scene: SceneBoxes,
     if n_pad != n:
         host = jax.tree.map(
             lambda x: np.concatenate([x, np.repeat(x[-1:], n_pad - n, axis=0)]), host)
+    chunked = jax.tree.map(
+        lambda x: x.reshape(n_pad // chunk, chunk, *x.shape[1:]), host)
+    chunked = RayInputs(*chunked)
 
-    sharding = batch_sharding(mesh) if mesh is not None else None
-    pieces = []
-    for i in range(0, n_pad, chunk):
-        part = jax.tree.map(lambda x: x[i:i + chunk], host)
-        part = RayInputs(*part)
-        if sharding is not None:
-            part = jax.tree.map(lambda x: jax.device_put(x, sharding), part)
-        sub = None
-        if key is not None:
-            key, sub = jax.random.split(key)
-        out = _render_chunk(params, spec, scene, part, edits, sub,
-                            only_coarse=only_coarse)
-        pieces.append(jax.device_get(out))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def cat(*xs):
-        axis = 1 if xs[0].ndim >= 2 and xs[0].shape[0] == spec.layer_num + 1 else 0
-        # per-layer leaves carry a leading (L+1) axis -> concat on rays axis 1
-        return np.concatenate(xs, axis=axis)
+        sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+        chunked = jax.tree.map(lambda x: jax.device_put(x, sharding), chunked)
 
-    merged = jax.tree.map(cat, *pieces)
+    out = _render_frame(params, spec, scene, chunked, edits, key,
+                        only_coarse=only_coarse)
+    out = jax.device_get(out)
 
-    def trim(x):
-        if x.ndim >= 2 and x.shape[0] == spec.layer_num + 1:
-            return x[:, :n]
-        return x[:n]
+    lp1 = spec.layer_num + 1
 
-    return jax.tree.map(trim, merged)
+    def fix(x):
+        # (n_chunks, ...) -> flat rays; per-layer leaves keep (L+1) leading
+        if x.ndim >= 3 and x.shape[1] == lp1:
+            y = np.moveaxis(x, 1, 0).reshape(lp1, n_pad, *x.shape[3:])
+            return y[:, :n]
+        y = x.reshape(n_pad, *x.shape[2:])
+        return y[:n]
+
+    return jax.tree.map(fix, out)

@@ -294,20 +294,21 @@ class LayeredNeuralRenderer:
                     bkgd_density_threshold=0, frame_idx=None):
         """Render one pose -> (color (H,W,3), depth (H,W,1),
         color_layer [L+1 x (H,W,3)], depth_layer [L+1 x (H,W,1)])
-        (ref: layered_neural_renderer.py:364-392)."""
-        H, W = self.height, self.width
-        inputs = self.dataset.rays_for_pose(pose, K, layer_frame_pair)
+        (ref: layered_neural_renderer.py:364-392).
+
+        Runs as a single on-device program (rays generated on chip,
+        quantized image download) — see render.pose_device.
+        """
+        from .pose_device import render_pose_host
+
+        frame_ids = np.ones(self.layer_num + 1, np.float32)
+        for layer_id, frame_id in layer_frame_pair:
+            frame_ids[layer_id] = frame_id
         edits = self._edits(frame_idx, density_threshold, bkgd_density_threshold)
-        out = render_rays_chunked(self.params, self.spec, self.scene, inputs,
-                                  edits, chunk=self.cfg.TPU.RENDER_CHUNK,
-                                  mesh=self.mesh)
-        color = np.asarray(out.fine.color).reshape(H, W, 3)
-        depth = np.asarray(out.fine.depth).reshape(H, W, 1)
-        depth = np.clip(depth, 0, None) / self.far
-        color_layer = [np.asarray(c).reshape(H, W, 3) for c in out.fine_layers.color]
-        depth_layer = [np.clip(np.asarray(d).reshape(H, W, 1), 0, None) / self.far
-                       for d in out.fine_layers.depth]
-        return color, depth, color_layer, depth_layer
+        return render_pose_host(
+            self.params, self.spec, self.scene, K, pose, frame_ids,
+            self.dataset.near_far, edits, self.height, self.width,
+            chunk=self.cfg.TPU.RENDER_CHUNK, far_clip=self.far)
 
     def _video_dir(self, sub: str) -> str:
         parts = [self.output_dir]

@@ -1,0 +1,115 @@
+"""Pallas fused-SpaceNet kernel vs the XLA reference path (interpret mode on
+CPU; the same kernel compiles natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stnerf_tpu.kernels import (fused_spacenet, fused_spacenet_stacked,
+                                prepare_kernel_params)
+from stnerf_tpu.models import SpaceNetSpec, apply_spacenet, init_spacenet
+from stnerf_tpu.ops import positional_encoding
+
+
+@pytest.mark.parametrize("deep,use_time", [(False, False), (True, True)])
+def test_fused_matches_xla(rng, deep, use_time):
+    spec = SpaceNetSpec(use_dir=True, use_time=use_time, deep_rgb=deep,
+                        backbone_dim=32, head_dim=16)
+    params = init_spacenet(jax.random.PRNGKey(0), spec)
+    m = 300  # not a TILE multiple: exercises padding
+    pos = rng.normal(size=(m, 3)).astype(np.float32)
+    dirs = rng.normal(size=(m, 3)).astype(np.float32)
+    times = rng.integers(1, 5, size=(m,)).astype(np.float32)
+
+    rgb_ref, sig_ref = jax.jit(apply_spacenet, static_argnames=("spec",))(
+        params, spec, jnp.array(pos), jnp.array(dirs),
+        jnp.array(times) if use_time else None)
+
+    kparams = prepare_kernel_params(jax.device_get(params), spec,
+                                    dtype=jnp.float32)
+    pos_enc = positional_encoding(jnp.array(pos), 10, True)
+    dir_enc = positional_encoding(jnp.array(dirs), 4, True)
+    time_enc = (positional_encoding(jnp.array(times)[:, None], 10, True)
+                if use_time else None)
+    rgb_k, sig_k = fused_spacenet(kparams, spec, pos_enc, dir_enc, time_enc,
+                                  compute_dtype="float32", interpret=True)
+
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_ref),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sig_k), np.asarray(sig_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_stacked_matches_per_layer(rng):
+    spec = SpaceNetSpec(use_dir=True, use_time=True, deep_rgb=False,
+                        backbone_dim=32, head_dim=16)
+    L, m = 2, 128
+    p0 = init_spacenet(jax.random.PRNGKey(1), spec)
+    p1 = init_spacenet(jax.random.PRNGKey(2), spec)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), p0, p1)
+
+    pos = rng.normal(size=(L, m, 3)).astype(np.float32)
+    dirs = rng.normal(size=(L, m, 3)).astype(np.float32)
+    times = rng.integers(1, 4, size=(L, m)).astype(np.float32)
+
+    kstacked = jax.vmap(lambda p: prepare_kernel_params(p, spec, jnp.float32)
+                        )(stacked)
+    rgb_s, sig_s = fused_spacenet_stacked(
+        kstacked, spec,
+        positional_encoding(jnp.array(pos), 10, True),
+        positional_encoding(jnp.array(dirs), 4, True),
+        positional_encoding(jnp.array(times)[..., None], 10, True),
+        compute_dtype="float32", interpret=True)
+
+    for l, p in enumerate((p0, p1)):
+        rgb_ref, sig_ref = apply_spacenet(p, spec, jnp.array(pos[l]),
+                                          jnp.array(dirs[l]), jnp.array(times[l]))
+        np.testing.assert_allclose(np.asarray(rgb_s[l]), np.asarray(rgb_ref),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sig_s[l]), np.asarray(sig_ref),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_planar_kernel_matches_xla(rng):
+    from stnerf_tpu.kernels import fused_spacenet_planar, prepare_kernel_params_planar
+    from stnerf_tpu.models.spacenet import apply_spacenet_planar
+    from stnerf_tpu.ops.encoding import positional_encoding_planar as pep
+
+    spec = SpaceNetSpec(use_dir=True, use_time=True, deep_rgb=False,
+                        backbone_dim=32, head_dim=16)
+    params = init_spacenet(jax.random.PRNGKey(5), spec)
+    m = 260
+    pos = rng.normal(size=(3, m)).astype(np.float32)
+    dirs = rng.normal(size=(3, m)).astype(np.float32)
+    times = rng.integers(1, 5, size=(m,)).astype(np.float32)
+
+    rgb_ref, sig_ref = apply_spacenet_planar(params, spec, jnp.array(pos),
+                                             jnp.array(dirs), jnp.array(times))
+    kp = prepare_kernel_params_planar(jax.device_get(params), spec, jnp.float32)
+    rgb_k, sig_k = fused_spacenet_planar(
+        kp, spec, pep(jnp.array(pos), 10, True), pep(jnp.array(dirs), 4, True),
+        pep(jnp.array(times)[None], 10, True),
+        compute_dtype="float32", interpret=True, tile=128)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_ref),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sig_k), np.asarray(sig_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_planar_matches_rowmajor(rng):
+    from stnerf_tpu.models.spacenet import apply_spacenet_planar
+
+    spec = SpaceNetSpec(use_dir=True, use_time=True, deep_rgb=True,
+                        backbone_dim=32, head_dim=16)
+    params = init_spacenet(jax.random.PRNGKey(7), spec)
+    m = 64
+    pos = rng.normal(size=(m, 3)).astype(np.float32)
+    dirs = rng.normal(size=(m, 3)).astype(np.float32)
+    times = rng.integers(1, 5, size=(m,)).astype(np.float32)
+    rgb_r, sig_r = apply_spacenet(params, spec, jnp.array(pos), jnp.array(dirs),
+                                  jnp.array(times))
+    rgb_p, sig_p = apply_spacenet_planar(params, spec, jnp.array(pos.T),
+                                         jnp.array(dirs.T), jnp.array(times))
+    np.testing.assert_allclose(np.asarray(rgb_p.T), np.asarray(rgb_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig_p), np.asarray(sig_r), atol=1e-5)
