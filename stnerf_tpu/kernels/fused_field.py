@@ -1,0 +1,167 @@
+"""Fully-fused field evaluation: deformation + encodings + radiance MLP in
+one Pallas kernel.
+
+Per sample tile, entirely in VMEM:
+  1. MotionNet: positional-encode (xyz, frame-id) — with the reference's
+     floor/ceil encoding blend for fractional ids
+     (ref: modeling/motion_net.py:49-62) — run the flow MLP, displace xyz
+     (ref: modeling/layered_rfrender.py:340-368),
+  2. SpaceNet: positional-encode the displaced xyz, run trunk + heads
+     (ref: modeling/spacenet.py:101-160).
+
+Compared to the staged path (XLA encodes -> kernel MLP -> XLA motion), this
+removes every intermediate HBM tensor: the motion encoding (~85 rows x M),
+the flow, the displaced positions and the position encoding (~63 x M) never
+leave the chip, and the trig VPU work interleaves with MXU matmuls. Inputs
+are just raw planar xyz (3, M), ids (1, M) and the per-ray direction
+encoding broadcast (dir_dim, M).
+
+Weights for both nets stay VMEM-resident (~1.2 MB bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_spacenet import _mmT, prepare_kernel_params_planar
+
+
+def prepare_motion_params_planar(params: dict, dtype=jnp.bfloat16):
+    """MotionNet pytree -> flat operand tuple (w, b(out,1)) x 6."""
+    ops = []
+    for layer in params["net"]:
+        ops.append(layer["w"].astype(dtype))
+        ops.append(layer["b"].astype(jnp.float32)[:, None])
+    return tuple(ops)
+
+
+def _encode(v, num_freqs, include_input):
+    """In-kernel planar positional encoding: v (C, tile) -> (C*(1+2L), tile)."""
+    pieces = [v] if include_input else []
+    for i in range(num_freqs):
+        vf = v * (2.0**i)
+        pieces.append(jnp.sin(vf))
+        pieces.append(jnp.cos(vf))
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _kernel(cfg, xyz_ref, id_ref, dir_ref, *refs):
+    (motion_mode, use_time, n_rgb, freqs, inc, dtype) = cfg
+    relu = jax.nn.relu
+    n_motion = 12 if motion_mode else 0
+    m_ops = refs[:n_motion]
+    (w1, b1, w2, b2, w3, b3, w4, b4,
+     s2a, s2b, sb1, s2w2, sb2, s2w3, sb3,
+     dw, db, r1a, r1b, r1c, rb1, *rest_and_out) = refs[n_motion:]
+    *rgb_rest, out_ref = rest_and_out
+
+    xyz = xyz_ref[...]                                   # (3, tile) f32
+    ids = id_ref[...]                                    # (1, tile) f32
+
+    if motion_mode:
+        if motion_mode == "lerp":
+            lo = jnp.floor(ids)
+            w = ids - lo
+            e_lo = _encode(jnp.concatenate([xyz, lo], axis=0), freqs, inc)
+            e_hi = _encode(jnp.concatenate([xyz, lo + 1.0], axis=0), freqs, inc)
+            enc = (1.0 - w) * e_lo + w * e_hi
+        else:  # direct
+            enc = _encode(jnp.concatenate([xyz, ids], axis=0), freqs, inc)
+        h = enc.astype(dtype)
+        for k in range(6):
+            h = _mmT(m_ops[2 * k][...], h, m_ops[2 * k + 1][...])
+            if k < 5:
+                h = relu(h).astype(dtype)
+        xyz = xyz + h                                    # flow displacement
+
+    p = _encode(xyz, freqs, inc).astype(dtype)           # (63, tile)
+    x = relu(_mmT(w1[...], p, b1[...])).astype(dtype)
+    x = relu(_mmT(w2[...], x, b2[...])).astype(dtype)
+    x = relu(_mmT(w3[...], x, b3[...])).astype(dtype)
+    x = relu(_mmT(w4[...], x, b4[...])).astype(dtype)
+    x = relu(_mmT(s2a[...], x) + _mmT(s2b[...], p) + sb1[...]).astype(dtype)
+    x = relu(_mmT(s2w2[...], x, sb2[...])).astype(dtype)
+    x = relu(_mmT(s2w3[...], x, sb3[...])).astype(dtype)
+
+    sigma = _mmT(dw[...], x, db[...])
+
+    h = _mmT(r1a[...], relu(x))
+    h = h + _mmT(r1b[...], relu(dir_ref[...].astype(dtype)))
+    if use_time:
+        t_enc = _encode(ids, freqs, inc).astype(dtype)   # (21, tile)
+        h = h + _mmT(r1c[...], relu(t_enc))
+    h = relu(h + rb1[...]).astype(dtype)
+    for i in range(n_rgb - 1):
+        w_, b_ = rgb_rest[2 * i], rgb_rest[2 * i + 1]
+        h = _mmT(w_[...], h, b_[...])
+        if i < n_rgb - 2:
+            h = relu(h).astype(dtype)
+
+    out_ref[0:3, :] = h.astype(jnp.float32)
+    out_ref[3:4, :] = sigma.astype(jnp.float32)
+
+
+def _pad_cols(x, m):
+    r = (-x.shape[-1]) % m
+    if r:
+        x = jnp.concatenate([x, jnp.zeros((*x.shape[:-1], r), x.dtype)], -1)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "motion_mode",
+                                              "compute_dtype", "interpret",
+                                              "tile"))
+def fused_field(space_kparams, motion_kparams, spec, xyz, ids, dir_enc,
+                motion_mode: str | None = None,
+                compute_dtype: str = "bfloat16",
+                interpret: bool = False, tile: int = 2048):
+    """Evaluate one deformed radiance field.
+
+    xyz (3, M) raw canonical positions, ids (1, M) frame/camera ids,
+    dir_enc (dir_dim, M) precomputed direction encoding.
+    motion_mode: None | "lerp" (fractional-id blend) | "direct".
+    -> (rgb (3, M), sigma (M,)).
+    """
+    m = xyz.shape[-1]
+    xyz_p = _pad_cols(xyz, tile)
+    ids_p = _pad_cols(ids, tile)
+    dir_p = _pad_cols(dir_enc, tile)
+    mp = xyz_p.shape[-1]
+    n_rgb = 4 if spec.deep_rgb else 2
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    cfg = (motion_mode, spec.use_time, n_rgb, spec.pos_freqs,
+           spec.include_input, dtype)
+
+    kparams = (tuple(motion_kparams) if motion_mode else ()) + tuple(space_kparams)
+
+    def tile_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [tile_spec(3), tile_spec(1), tile_spec(dir_p.shape[0])] + \
+               [full] * len(kparams)
+
+    W = spec.backbone_dim
+    flops_per = 2 * (spec.pos_dim * W * 2 + 5 * W * W
+                     + (W + spec.dir_dim + spec.time_dim) * 128
+                     + (n_rgb - 1) * 128 * 128
+                     + (85 * 128 + 4 * 128 * 128 + 128 * 3 if motion_mode else 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel, cfg),
+        grid=(mp // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops_per * mp,
+                                      bytes_accessed=mp * 4 * 40,
+                                      transcendentals=mp * 70),
+        interpret=interpret,
+    )(xyz_p, ids_p, dir_p, *kparams)
+    return out[0:3, :m], out[3, :m]

@@ -298,42 +298,48 @@ def _inverse_edit_points(xyz: jnp.ndarray, edits: EditState) -> jnp.ndarray:
     return (xyz - pivot) / s + pivot
 
 
-def _eval_fields_pallas(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
-                        dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool):
-    """Fused-kernel field evaluation (see kernels.fused_spacenet): planar
-    encodings in XLA, the full MLP stack in one VMEM-resident feature-major
-    Pallas kernel per field. xyz: (L+1, 3, N, S), dirs_p: (3, N)."""
-    from ..kernels.fused_spacenet import (fused_spacenet_planar,
-                                          prepare_kernel_params_planar)
+def _use_fused_kernel(spec: LayeredSpec) -> bool:
+    """The fully-fused Pallas path handles per-layer time deformation inside
+    the kernel; the (rare) view-deform net falls back to the XLA path."""
+    return (spec.use_pallas and not spec.use_deform_view
+            and jax.default_backend() == "tpu")
+
+
+def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
+                       dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool):
+    """Fully-fused field evaluation (kernels.fused_field): the per-layer
+    MotionNet displacement, all positional encodings and the SpaceNet run in
+    one VMEM-resident Pallas kernel per field. xyz here is *pre-deformation*
+    canonical positions (L+1, 3, N, S); dirs_p (3, N)."""
+    from ..kernels.fused_field import fused_field, prepare_motion_params_planar
+    from ..kernels.fused_spacenet import prepare_kernel_params_planar
     from ..ops.encoding import positional_encoding_planar as pe
 
     lp1, _, N, S = xyz.shape
     M = N * S
+    dt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
     inc = spec.include_input
     sn_b = spec.spacenet_spec(bkgd=True)
     sn_l = spec.spacenet_spec(bkgd=False)
 
-    dir_enc = pe(dirs_p, sn_b.dir_freqs, inc)  # (dir_dim, N)
+    dir_enc = pe(dirs_p, sn_b.dir_freqs, inc).astype(dt)  # (dir_dim, N)
     dir_b = jnp.broadcast_to(dir_enc[:, :, None],
                              (dir_enc.shape[0], N, S)).reshape(-1, M)
 
-    def time_feat(sspec, ids):
-        if not sspec.use_time:
-            return None
-        te = pe(ids[None, :], sspec.time_freqs, inc)  # (time_dim, N)
-        return jnp.broadcast_to(te[:, :, None], (te.shape[0], N, S)).reshape(-1, M)
-
-    def run(net_params, sspec, x, t_ids):
-        kp = prepare_kernel_params_planar(net_params, sspec,
-                                   jnp.bfloat16 if spec.compute_dtype == "bfloat16"
-                                   else jnp.float32)
-        rgb, sig = fused_spacenet_planar(
-            kp, sspec, pe(x, sspec.pos_freqs, inc).reshape(-1, M),
-            dir_b, time_feat(sspec, t_ids), compute_dtype=spec.compute_dtype)
+    def run(net_params, motion_params, motion_mode, sspec, x, t_ids):
+        kp = prepare_kernel_params_planar(net_params, sspec, dt)
+        mp = (prepare_motion_params_planar(motion_params, dt)
+              if motion_mode else ())
+        ids = jnp.broadcast_to(t_ids[:, None], (N, S)).reshape(1, M)
+        rgb, sig = fused_field(kp, mp, sspec, x.reshape(3, M), ids, dir_b,
+                               motion_mode=motion_mode,
+                               compute_dtype=spec.compute_dtype)
         return rgb.reshape(3, N, S), sig.reshape(N, S)
 
     bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
-    rgb0, sig0 = run(params[bkgd_key], sn_b, xyz[0], frame_ids[:, 0])
+    bkgd_motion = ("direct" if spec.bkgd_use_deform_time else None)
+    rgb0, sig0 = run(params[bkgd_key], params.get("bkgd_motion"), bkgd_motion,
+                     sn_b, xyz[0], frame_ids[:, 0])
     rgbs, sigs = [rgb0], [sig0]
 
     if spec.layer_num:
@@ -341,9 +347,13 @@ def _eval_fields_pallas(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
             layer_params = params["layers_fine"]
         else:
             layer_params = params["layers_coarse"]
+        layer_motion = "lerp" if spec.use_deform_time else None
         for i in range(spec.layer_num):  # static, small: separate kernels
             p_i = jax.tree.map(lambda x: x[i], layer_params)
-            r, s = run(p_i, sn_l, xyz[i + 1], frame_ids[:, i + 1])
+            m_i = (jax.tree.map(lambda x: x[i], params["motion"])
+                   if layer_motion else None)
+            r, s = run(p_i, m_i, layer_motion, sn_l, xyz[i + 1],
+                       frame_ids[:, i + 1])
             rgbs.append(r)
             sigs.append(s)
     return jnp.stack(rgbs), jnp.stack(sigs)
@@ -356,8 +366,8 @@ def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     Planar layout: xyz (L+1, 3, N, S) canonical-space samples, dirs_p (3, N),
     frame_ids (N, L+1). Returns rgb (L+1, 3, N, S), sigma (L+1, N, S).
     """
-    if spec.use_pallas and jax.default_backend() == "tpu":
-        return _eval_fields_pallas(params, spec, xyz, dirs_p, frame_ids, fine)
+    if _use_fused_kernel(spec):
+        return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine)
     _, _, N, S = xyz.shape
     dt = spec.dtype
     dirs_b = jnp.broadcast_to(dirs_p[:, :, None], (3, N, S))
@@ -520,7 +530,8 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     t_c = jax.lax.stop_gradient(t_c)
     xyz = o_p[None, :, :, None] + t_c[:, None, :, :] * d_p[None, :, :, None]
     xyz = _inverse_edit_points(xyz, edits)                    # (L+1, 3, N, S1)
-    xyz = _deform(params, spec, xyz, inputs.frame_ids, inputs.cam_ids)
+    if not _use_fused_kernel(spec):  # fused path deforms inside the kernel
+        xyz = _deform(params, spec, xyz, inputs.frame_ids, inputs.cam_ids)
     rgb_c, sig_c = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids, fine=False)
     sig_c = _mask_sigma_coarse(spec, sig_c, t_c, hit, edits)
 
@@ -535,20 +546,19 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
         return RenderOutputs(coarse, coarse, coarse_layers, coarse_layers, hit)
 
     # --- fine stage ---
+    # importance-sample and sort all layers in one batched call (one sort of
+    # (L+1)*N rows beats L+1 separate dispatches)
     w_c = per_layer_c.weights[..., 0]  # (L+1, N, S1)
-    if key_f is not None:
-        f_keys = jax.random.split(key_f, lp1)
-    else:
-        f_keys = [None] * lp1
-    t_f = []
-    for i in range(lp1):
-        z_new = sample_pdf(t_c[i], w_c[i][:, 1:-1], S2, f_keys[i])
-        t_f.append(sort_merge_t(t_c[i], jax.lax.stop_gradient(z_new)))
-    t_f = jnp.stack(t_f)  # (L+1, N, S1+S2)
+    t_flat = t_c.reshape(lp1 * N, S1)
+    z_new = sample_pdf(t_flat, w_c[:, :, 1:-1].reshape(lp1 * N, S1 - 2),
+                       S2, key_f)
+    t_f = sort_merge_t(t_flat, jax.lax.stop_gradient(z_new))
+    t_f = t_f.reshape(lp1, N, S1 + S2)
 
     xyz_f = o_p[None, :, :, None] + t_f[:, None, :, :] * d_p[None, :, :, None]
     xyz_f = _inverse_edit_points(xyz_f, edits)
-    xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids, inputs.cam_ids)
+    if not _use_fused_kernel(spec):
+        xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids, inputs.cam_ids)
     rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids, fine=True)
     sig_f = _mask_sigma_fine(spec, sig_f, hit, edits)
 

@@ -36,7 +36,9 @@ def smooth_pose_path(poses: np.ndarray, Ks, step_num: int,
     times = np.linspace(0, n - 1, step_num)
     Rs = slerp(times).as_matrix()
 
-    tck, _ = splprep([Ts[:, 0], Ts[:, 1], Ts[:, 2]])
+    # spline degree must be < number of control points (the reference
+    # crashes for short pose lists; clamp instead)
+    tck, _ = splprep([Ts[:, 0], Ts[:, 1], Ts[:, 2]], k=min(3, n - 1))
     u = np.linspace(0, 1, step_num)
     centers = np.stack(splev(u, tck), axis=1)
 

@@ -1,3 +1,6 @@
 from .jax_setup import enable_compilation_cache, setup_logger
+from .misc import (add_two_dim_dict, add_three_dim_dict, vis_density,
+                   corrupt_cameras)
 
-__all__ = ["enable_compilation_cache", "setup_logger"]
+__all__ = ["enable_compilation_cache", "setup_logger", "add_two_dim_dict",
+           "add_three_dim_dict", "vis_density", "corrupt_cameras"]

@@ -113,3 +113,46 @@ def test_planar_matches_rowmajor(rng):
                                          jnp.array(dirs.T), jnp.array(times))
     np.testing.assert_allclose(np.asarray(rgb_p.T), np.asarray(rgb_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sig_p), np.asarray(sig_r), atol=1e-5)
+
+
+class TestFusedField:
+    @pytest.mark.parametrize("motion_mode", [None, "direct", "lerp"])
+    def test_matches_staged_path(self, rng, motion_mode):
+        from stnerf_tpu.kernels.fused_field import (fused_field,
+                                                    prepare_motion_params_planar)
+        from stnerf_tpu.kernels import prepare_kernel_params_planar
+        from stnerf_tpu.models import MotionNetSpec, init_motionnet
+        from stnerf_tpu.models.motionnet import apply_motionnet_planar
+        from stnerf_tpu.models.spacenet import apply_spacenet_planar
+        from stnerf_tpu.ops.encoding import positional_encoding_planar as pep
+
+        spec = SpaceNetSpec(use_dir=True, use_time=True, deep_rgb=False,
+                            backbone_dim=32, head_dim=16)
+        sp = init_spacenet(jax.random.PRNGKey(0), spec)
+        mspec = MotionNetSpec(width=32, input_time=(motion_mode == "lerp"))
+        mp = init_motionnet(jax.random.PRNGKey(1), mspec)
+
+        m = 200
+        xyz = rng.normal(size=(3, m)).astype(np.float32)
+        ids = (rng.integers(1, 4, size=(m,)).astype(np.float32)
+               + (0.5 if motion_mode == "lerp" else 0.0))
+
+        # staged reference: motion displacement then spacenet
+        x_ref = jnp.array(xyz)
+        if motion_mode:
+            x_ref = x_ref + apply_motionnet_planar(mp, mspec, x_ref, jnp.array(ids))
+        dirs = rng.normal(size=(3, m)).astype(np.float32)
+        rgb_ref, sig_ref = apply_spacenet_planar(sp, spec, x_ref,
+                                                 jnp.array(dirs), jnp.array(ids))
+
+        rgb_k, sig_k = fused_field(
+            prepare_kernel_params_planar(jax.device_get(sp), spec, jnp.float32),
+            prepare_motion_params_planar(jax.device_get(mp), jnp.float32)
+            if motion_mode else (),
+            spec, jnp.array(xyz), jnp.array(ids)[None], pep(jnp.array(dirs), 4, True),
+            motion_mode=motion_mode, compute_dtype="float32",
+            interpret=True, tile=128)
+        np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_ref),
+                                   rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(sig_k), np.asarray(sig_ref),
+                                   rtol=5e-3, atol=5e-4)
