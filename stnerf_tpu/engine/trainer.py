@@ -143,9 +143,11 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
             if batch_idx % s.LOG_PERIOD == 0:
                 m = jax.device_get(metrics)
                 psnr_monitor.append(float(m.psnr_fine))
-                rays_per_s = s.LOG_PERIOD * float(s.BUNCH) / max(time.time() - iter_start, 1e-9)
-                # identical shape to the reference's throughput line
-                # (ref: engine/layered_trainer.py:304-306)
+                # same line format as the reference (ref: engine/
+                # layered_trainer.py:304-306) but honest: rays actually
+                # processed this iteration / its wall time (the reference
+                # multiplies one iteration's rate by LOG_PERIOD)
+                rays_per_s = batch_size / max(time.time() - iter_start, 1e-9)
                 logger.info(
                     "Epoch[%d] Iteration[%d/%d] Loss: %.3e  Psnr coarse: %.2f "
                     "Psnr fine: %.2f Speed: %.1f[rays/s]",

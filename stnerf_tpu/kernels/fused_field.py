@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_spacenet import _mmT, prepare_kernel_params_planar
+from .fused_spacenet import _mmT
 
 
 def prepare_motion_params_planar(params: dict, dtype=jnp.bfloat16):

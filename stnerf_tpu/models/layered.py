@@ -52,10 +52,8 @@ from ..ops.sampling import (ray_aabb_intersect, sample_pdf,
 from ..ops.volume import (merge_layers_planar, sort_merge_t,
                           volume_render_planar)
 from .camera import apply_camera_transform, init_camera_transform
-from .motionnet import (MotionNetSpec, apply_motionnet,
-                        apply_motionnet_planar, init_motionnet)
-from .spacenet import (SpaceNetSpec, apply_spacenet, apply_spacenet_planar,
-                       init_spacenet)
+from .motionnet import MotionNetSpec, apply_motionnet_planar, init_motionnet
+from .spacenet import SpaceNetSpec, apply_spacenet_planar, init_spacenet
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,12 @@ def spherical_path(radius, thetas, phis, center, up) -> np.ndarray:
                             center, up) for th, ph in zip(thetas, phis)])
 
 
+# Reference-name aliases (ref: render/render_functions.py:190-219)
+generate_poses_by_path = lookat_path
+generate_poses_by_path_center = lookat_path_centers
+generate_poses_by_spherical = spherical_path
+
+
 def retime_frames(frames, key_frames_layer, key_frames, min_frame: int,
                   max_frame: int):
     """Piecewise-linear timeline remap for one layer.

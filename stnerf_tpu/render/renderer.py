@@ -25,7 +25,6 @@ from ..engine.checkpoint import latest_checkpoint, load_params_any
 from ..models import (EditState, compute_scale_pivot, init_layered_params)
 from ..models.layered import LayeredSpec
 from ..utils import setup_logger
-from .chunked import render_rays_chunked
 from .paths import lookat_path, lookat_path_centers, retime_frames, smooth_pose_path
 from .video import write_image, write_video
 
