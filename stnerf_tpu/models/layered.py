@@ -304,11 +304,19 @@ def _use_fused_kernel(spec: LayeredSpec) -> bool:
 
 
 def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
-                       dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool):
+                       dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool,
+                       active=None):
     """Fully-fused field evaluation (kernels.fused_field): the per-layer
     MotionNet displacement, all positional encodings and the SpaceNet run in
     one VMEM-resident Pallas kernel per field. xyz here is *pre-deformation*
-    canonical positions (L+1, 3, N, S); dirs_p (3, N)."""
+    canonical positions (L+1, 3, N, S); dirs_p (3, N).
+
+    ``active`` ((L+1,) bool or None): chunk-level skip — a performer field
+    whose bbox no ray in this chunk hits (or that is hidden) is skipped with
+    ``lax.cond``, returning zeros. Image chunks are spatially coherent, so
+    whole bands skip whole performers — the TPU-legal analogue of the
+    reference's per-ray boolean indexing (ref: layered_rfrender.py:400-413).
+    """
     from ..kernels.fused_field import fused_field, prepare_motion_params_planar
     from ..kernels.fused_spacenet import prepare_kernel_params_planar
     from ..ops.encoding import positional_encoding_planar as pe
@@ -350,22 +358,36 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
             p_i = jax.tree.map(lambda x: x[i], layer_params)
             m_i = (jax.tree.map(lambda x: x[i], params["motion"])
                    if layer_motion else None)
-            r, s = run(p_i, m_i, layer_motion, sn_l, xyz[i + 1],
-                       frame_ids[:, i + 1])
+
+            def eval_layer(operands):
+                x, t_ids = operands
+                return run(p_i, m_i, layer_motion, sn_l, x, t_ids)
+
+            def skip_layer(operands):
+                return (jnp.zeros((3, N, S), jnp.float32),
+                        jnp.zeros((N, S), jnp.float32))
+
+            if active is None:
+                r, s = eval_layer((xyz[i + 1], frame_ids[:, i + 1]))
+            else:
+                r, s = jax.lax.cond(active[i + 1], eval_layer, skip_layer,
+                                    (xyz[i + 1], frame_ids[:, i + 1]))
             rgbs.append(r)
             sigs.append(s)
     return jnp.stack(rgbs), jnp.stack(sigs)
 
 
 def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
-                 dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool):
+                 dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool,
+                 active=None):
     """Evaluate background + stacked performer fields.
 
     Planar layout: xyz (L+1, 3, N, S) canonical-space samples, dirs_p (3, N),
     frame_ids (N, L+1). Returns rgb (L+1, 3, N, S), sigma (L+1, N, S).
     """
     if _use_fused_kernel(spec):
-        return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine)
+        return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine,
+                                  active=active)
     _, _, N, S = xyz.shape
     dt = spec.dtype
     dirs_b = jnp.broadcast_to(dirs_p[:, :, None], (3, N, S))
@@ -530,7 +552,11 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     xyz = _inverse_edit_points(xyz, edits)                    # (L+1, 3, N, S1)
     if not _use_fused_kernel(spec):  # fused path deforms inside the kernel
         xyz = _deform(params, spec, xyz, inputs.frame_ids, inputs.cam_ids)
-    rgb_c, sig_c = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids, fine=False)
+    # chunk-level skip predicate: any ray hits the (edited) bbox and the
+    # layer is visible — hidden or fully-missed fields cost nothing
+    active = jnp.any(hit, axis=1) & (edits.visible > 0)
+    rgb_c, sig_c = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids,
+                                fine=False, active=active)
     sig_c = _mask_sigma_coarse(spec, sig_c, t_c, hit, edits)
 
     per_layer_c = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
@@ -557,7 +583,8 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     xyz_f = _inverse_edit_points(xyz_f, edits)
     if not _use_fused_kernel(spec):
         xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids, inputs.cam_ids)
-    rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids, fine=True)
+    rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids,
+                                fine=True, active=active)
     sig_f = _mask_sigma_fine(spec, sig_f, hit, edits)
 
     per_layer_f = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)

@@ -6,6 +6,12 @@ inside one ``lax.map``, and outputs come back quantized (u8 color, f16
 depth/alpha). On this environment's tunneled TPU, host<->device bandwidth
 is ~3-7 MB/s, so shipping 2M rays up and f32 images down would cost minutes
 per frame — this program reduces the transfer to the final images only.
+
+Rays are generated in **screen-tile order** (default 128x256-pixel tiles =
+one 32768-ray chunk per tile): each chunk is spatially compact, so the
+chunk-level performer-field skip (models.layered._eval_fields_fused) fires
+for every tile outside a performer's screen footprint. The host unscrambles
+the tile order back into row-major images.
 """
 
 from __future__ import annotations
@@ -30,34 +36,58 @@ class QuantizedFrame(NamedTuple):
     layer_acc: jnp.ndarray     # (L+1, N) f16
 
 
-def _device_pixel_rays(K, c2w, h: int, w: int):
-    """Planar pixel rays on device: -> (o (3,), dirs (3, h*w))."""
-    vs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
-    us = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+def tile_grid(h: int, w: int, chunk: int, tile_cols: int = 256):
+    """Static tile geometry: (tile_h, tile_w, tiles_x, tiles_y, n_pad)."""
+    tile_w = min(tile_cols, chunk)
+    tile_h = chunk // tile_w
+    tiles_x = -(-w // tile_w)
+    tiles_y = -(-h // tile_h)
+    return tile_h, tile_w, tiles_x, tiles_y, tiles_x * tiles_y * chunk
+
+
+def tile_pixel_coords(h: int, w: int, chunk: int, tile_cols: int = 256):
+    """NumPy copy of the device-side tile->pixel mapping, for unscrambling.
+    Returns (vs, us) int arrays of length n_pad (coords clamped in-range)."""
+    th, tw, tiles_x, _, n_pad = tile_grid(h, w, chunk, tile_cols)
+    idx = np.arange(n_pad)
+    tile, r = idx // chunk, idx % chunk
+    vs = (tile // tiles_x) * th + r // tw
+    us = (tile % tiles_x) * tw + r % tw
+    return np.minimum(vs, h - 1), np.minimum(us, w - 1), (vs < h) & (us < w)
+
+
+def _device_tile_rays(K, c2w, h: int, w: int, chunk: int, tile_cols: int):
+    """Planar pixel rays in tile order -> (o (3,), dirs (3, n_pad))."""
+    th, tw, tiles_x, _, n_pad = tile_grid(h, w, chunk, tile_cols)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+    tile, r = idx // chunk, idx % chunk
+    vs = jnp.minimum((tile // tiles_x) * th + r // tw, h - 1).astype(jnp.float32)
+    us = jnp.minimum((tile % tiles_x) * tw + r % tw, w - 1).astype(jnp.float32)
     Kinv = jnp.linalg.inv(K)
     x = Kinv[0, 0] * us + Kinv[0, 1] * vs + Kinv[0, 2]
     y = Kinv[1, 1] * vs + Kinv[1, 2]
     z = jnp.ones_like(us)
     norm = jax.lax.rsqrt(x * x + y * y + z * z)
-    cam = jnp.stack([x * norm, y * norm, z * norm], axis=0)   # (3, N)
+    cam = jnp.stack([x * norm, y * norm, z * norm], axis=0)   # (3, n_pad)
     dirs = c2w[:3, :3] @ cam
     return c2w[:3, 3], dirs
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "h", "w", "chunk", "only_coarse"))
+                   static_argnames=("spec", "h", "w", "chunk", "tile_cols",
+                                    "only_coarse"))
 def render_pose_on_device(params, spec: LayeredSpec, scene: SceneBoxes,
                           K, c2w, frame_ids, near_far, edits: EditState,
                           *, h: int, w: int, chunk: int = 32768,
-                          key=None, only_coarse: bool = False) -> QuantizedFrame:
+                          tile_cols: int = 256, key=None,
+                          only_coarse: bool = False) -> QuantizedFrame:
     """Render a full pose. K (3,3), c2w (4,4), frame_ids (L+1,) float,
-    near_far (2,). Returns quantized per-pixel outputs (row-major)."""
-    n = h * w
-    n_pad = ((n + chunk - 1) // chunk) * chunk
+    near_far (2,). Returns quantized per-pixel outputs in TILE order
+    (use :func:`tile_pixel_coords` to unscramble)."""
+    _, _, _, _, n_pad = tile_grid(h, w, chunk, tile_cols)
     n_chunks = n_pad // chunk
 
-    o, dirs = _device_pixel_rays(K, c2w, h, w)
-    dirs = jnp.pad(dirs, ((0, 0), (0, n_pad - n)), mode="edge")
+    o, dirs = _device_tile_rays(K, c2w, h, w, chunk, tile_cols)
     dirs = dirs.reshape(3, n_chunks, chunk)
 
     keys = (jax.random.split(key, n_chunks) if key is not None
@@ -89,27 +119,37 @@ def render_pose_on_device(params, spec: LayeredSpec, scene: SceneBoxes,
 
     def fix(x):
         if x.ndim >= 2 and x.shape[1] == lp1:
-            y = jnp.moveaxis(x, 1, 0).reshape(lp1, n_pad, *x.shape[3:])
-            return y[:, :n]
-        return x.reshape(n_pad, *x.shape[2:])[:n]
+            return jnp.moveaxis(x, 1, 0).reshape(lp1, n_pad, *x.shape[3:])
+        return x.reshape(n_pad, *x.shape[2:])
 
     return jax.tree.map(fix, out)
 
 
 def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
-                     h, w, chunk=32768, key=None, far_clip=20.0):
-    """Host-facing wrapper -> numpy dict of images (H, W, C) in [0,1]."""
+                     h, w, chunk=32768, tile_cols=256, key=None,
+                     far_clip=20.0):
+    """Host-facing wrapper -> (color (H,W,3), depth (H,W,1),
+    color_layer list, depth_layer list), images in [0,1]."""
     out = render_pose_on_device(
         params, spec, scene,
         jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32),
         jnp.asarray(frame_ids, jnp.float32), jnp.asarray(near_far, jnp.float32),
-        edits, h=h, w=w, chunk=chunk, key=key)
+        edits, h=h, w=w, chunk=chunk, tile_cols=tile_cols, key=key)
     out = jax.device_get(out)
-    color = out.color.reshape(h, w, 3).astype(np.float32) / 255.0
-    depth = np.clip(out.depth.reshape(h, w, 1).astype(np.float32), 0, None) / far_clip
+    vs, us, valid = tile_pixel_coords(h, w, chunk, tile_cols)
+
+    def unscramble(flat, channels):
+        img = np.zeros((h, w, channels), flat.dtype)
+        img[vs[valid], us[valid]] = flat[valid].reshape(-1, channels)
+        return img
+
+    color = unscramble(out.color, 3).astype(np.float32) / 255.0
+    depth = np.clip(unscramble(out.depth[:, None], 1).astype(np.float32),
+                    0, None) / far_clip
     lp1 = out.layer_color.shape[0]
-    color_layer = [out.layer_color[i].reshape(h, w, 3).astype(np.float32) / 255.0
+    color_layer = [unscramble(out.layer_color[i], 3).astype(np.float32) / 255.0
                    for i in range(lp1)]
-    depth_layer = [np.clip(out.layer_depth[i].reshape(h, w, 1).astype(np.float32),
-                           0, None) / far_clip for i in range(lp1)]
+    depth_layer = [np.clip(unscramble(out.layer_depth[i][:, None], 1)
+                           .astype(np.float32), 0, None) / far_clip
+                   for i in range(lp1)]
     return color, depth, color_layer, depth_layer
