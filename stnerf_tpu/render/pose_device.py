@@ -75,20 +75,31 @@ def _device_tile_rays(K, c2w, h: int, w: int, chunk: int, tile_cols: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "h", "w", "chunk", "tile_cols",
-                                    "only_coarse"))
+                                    "only_coarse", "shard_data"))
 def render_pose_on_device(params, spec: LayeredSpec, scene: SceneBoxes,
                           K, c2w, frame_ids, near_far, edits: EditState,
                           *, h: int, w: int, chunk: int = 32768,
                           tile_cols: int = 256, key=None,
-                          only_coarse: bool = False) -> QuantizedFrame:
+                          only_coarse: bool = False,
+                          shard_data: bool = False) -> QuantizedFrame:
     """Render a full pose. K (3,3), c2w (4,4), frame_ids (L+1,) float,
     near_far (2,). Returns quantized per-pixel outputs in TILE order
-    (use :func:`tile_pixel_coords` to unscramble)."""
+    (use :func:`tile_pixel_coords` to unscramble).
+
+    ``shard_data``: constrain each chunk's ray axis to the mesh's ``data``
+    axis (call under ``jax.sharding.set_mesh``) — multi-chip rendering with
+    replicated parameters and zero collectives in the forward pass."""
     _, _, _, _, n_pad = tile_grid(h, w, chunk, tile_cols)
     n_chunks = n_pad // chunk
 
     o, dirs = _device_tile_rays(K, c2w, h, w, chunk, tile_cols)
     dirs = dirs.reshape(3, n_chunks, chunk)
+    if shard_data:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel import DATA_AXIS
+
+        dirs = jax.lax.with_sharding_constraint(dirs, P(None, None, DATA_AXIS))
 
     keys = (jax.random.split(key, n_chunks) if key is not None
             else jnp.zeros((n_chunks, 2), jnp.uint32))
@@ -127,14 +138,20 @@ def render_pose_on_device(params, spec: LayeredSpec, scene: SceneBoxes,
 
 def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
                      h, w, chunk=32768, tile_cols=256, key=None,
-                     far_clip=20.0):
+                     far_clip=20.0, mesh=None):
     """Host-facing wrapper -> (color (H,W,3), depth (H,W,1),
-    color_layer list, depth_layer list), images in [0,1]."""
-    out = render_pose_on_device(
-        params, spec, scene,
-        jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32),
-        jnp.asarray(frame_ids, jnp.float32), jnp.asarray(near_far, jnp.float32),
-        edits, h=h, w=w, chunk=chunk, tile_cols=tile_cols, key=key)
+    color_layer list, depth_layer list), images in [0,1]. With ``mesh``,
+    rays shard across the mesh's ``data`` axis."""
+    import contextlib
+
+    ctx = jax.sharding.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        out = render_pose_on_device(
+            params, spec, scene,
+            jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32),
+            jnp.asarray(frame_ids, jnp.float32), jnp.asarray(near_far, jnp.float32),
+            edits, h=h, w=w, chunk=chunk, tile_cols=tile_cols, key=key,
+            shard_data=mesh is not None)
     out = jax.device_get(out)
     vs, us, valid = tile_pixel_coords(h, w, chunk, tile_cols)
 

@@ -99,3 +99,26 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestShardedPoseRender:
+    def test_matches_unsharded(self):
+        from stnerf_tpu.render.pose_device import render_pose_host
+
+        params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        scene = make_scene()
+        h, w = 16, 16
+        K = np.array([[12.0, 0, 8], [0, 12, 8], [0, 0, 1]], np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0, 0, -5]
+        fids = np.array([1.0, 2.0, 1.0], np.float32)
+        nf = np.array([0.5, 12.0], np.float32)
+        edits = EditState.identity(2)
+
+        base = render_pose_host(params, SPEC, scene, K, c2w, fids, nf, edits,
+                                h, w, chunk=64, tile_cols=16)
+        mesh = make_mesh()
+        shard = render_pose_host(params, SPEC, scene, K, c2w, fids, nf, edits,
+                                 h, w, chunk=64, tile_cols=16, mesh=mesh)
+        np.testing.assert_allclose(shard[0], base[0], atol=1.5 / 255)
+        np.testing.assert_allclose(shard[1], base[1], atol=2e-3)
