@@ -127,6 +127,10 @@ _C.TPU.MESH_DATA = -1   # -1: all devices on the "data" axis
 _C.TPU.MESH_MODEL = 1   # optional layer-parallel axis size
 # Use the fused Pallas SpaceNet kernel for inference when available.
 _C.TPU.USE_PALLAS = True
+# Use the hand-differentiated fused SpaceNet kernel (forward + backward
+# Pallas passes, kernels/spacenet_vjp.py) in training. Ignored when
+# POSE_REFINEMENT is on (that path needs direction-encoding gradients).
+_C.TPU.TRAINABLE_KERNEL = True
 # Rematerialize MLP activations in the training backward pass.
 _C.TPU.REMAT = True
 

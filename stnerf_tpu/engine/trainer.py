@@ -54,7 +54,9 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
 
     import dataclasses
 
-    # the fused Pallas forward has no VJP yet; training uses the XLA path
+    # inference-only fused kernel off; when spec.trainable_kernel is on
+    # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
+    # (kernels.spacenet_vjp) carries the training MLP work on TPU
     spec = dataclasses.replace(spec, use_pallas=False)
     edits = EditState.identity(spec.layer_num)
 
@@ -104,6 +106,9 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     """
     import dataclasses
 
+    # inference-only fused kernel off; when spec.trainable_kernel is on
+    # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
+    # (kernels.spacenet_vjp) carries the training MLP work on TPU
     spec = dataclasses.replace(spec, use_pallas=False)
     edits = EditState.identity(spec.layer_num)
 

@@ -85,6 +85,7 @@ class LayeredSpec:
     camera_num: int = 0
     compute_dtype: str = "float32"     # matmul dtype ("bfloat16" | "float32")
     use_pallas: bool = False           # fused field-eval kernel (TPU only)
+    trainable_kernel: bool = False     # Pallas fwd+bwd SpaceNet in training
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -112,6 +113,7 @@ class LayeredSpec:
             camera_num=camera_num,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             use_pallas=cfg.TPU.USE_PALLAS,
+            trainable_kernel=cfg.TPU.TRAINABLE_KERNEL,
         )
 
     def spacenet_spec(self, bkgd: bool) -> SpaceNetSpec:
@@ -377,6 +379,69 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     return jnp.stack(rgbs), jnp.stack(sigs)
 
 
+def _eval_fields_trainable(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
+                           dirs_p: jnp.ndarray, frame_ids: jnp.ndarray,
+                           fine: bool, active=None):
+    """Training-path field evaluation through the hand-differentiated fused
+    SpaceNet kernel (kernels.spacenet_vjp): encodings in XLA (differentiable,
+    so MotionNet gradients flow through the displaced positions), the MLP
+    forward AND backward as Pallas kernels."""
+    from ..kernels.spacenet_vjp import spacenet_planar_trainable
+    from ..ops.encoding import positional_encoding_planar as pe
+
+    lp1, _, N, S = xyz.shape
+    M = N * S
+    inc = spec.include_input
+    sn_b = spec.spacenet_spec(bkgd=True)
+    sn_l = spec.spacenet_spec(bkgd=False)
+
+    if spec.use_dir:
+        dir_enc = pe(dirs_p, sn_b.dir_freqs, inc)
+        dir_b = jnp.broadcast_to(dir_enc[:, :, None],
+                                 (dir_enc.shape[0], N, S)).reshape(-1, M)
+    else:
+        # matches the kernel's dummy (1, out) zero r1b operand
+        dir_b = jnp.zeros((1, M), jnp.float32)
+
+    def run(net_params, sspec, x, t_ids):
+        pos = pe(x.reshape(3, M), sspec.pos_freqs, inc)
+        te = None
+        if sspec.use_time:
+            t1 = pe(t_ids[None, :], sspec.time_freqs, inc)  # (time_dim, N)
+            te = jnp.broadcast_to(t1[:, :, None], (t1.shape[0], N, S)).reshape(-1, M)
+        rgb, sig = spacenet_planar_trainable(net_params, sspec, pos, dir_b, te,
+                                             spec.compute_dtype)
+        return rgb.reshape(3, N, S), sig.reshape(N, S)
+
+    bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
+    rgb0, sig0 = run(params[bkgd_key], sn_b, xyz[0], frame_ids[:, 0])
+    rgbs, sigs = [rgb0], [sig0]
+    if spec.layer_num:
+        if fine and not spec.same_spacenet:
+            layer_params = params["layers_fine"]
+        else:
+            layer_params = params["layers_coarse"]
+        for i in range(spec.layer_num):
+            p_i = jax.tree.map(lambda x: x[i], layer_params)
+
+            def eval_layer(operands, p_i=p_i):
+                x, t_ids = operands
+                return run(p_i, sn_l, x, t_ids)
+
+            def skip_layer(operands):
+                return (jnp.zeros((3, N, S), jnp.float32),
+                        jnp.zeros((N, S), jnp.float32))
+
+            if active is None:
+                r, s_ = eval_layer((xyz[i + 1], frame_ids[:, i + 1]))
+            else:
+                r, s_ = jax.lax.cond(active[i + 1], eval_layer, skip_layer,
+                                     (xyz[i + 1], frame_ids[:, i + 1]))
+            rgbs.append(r)
+            sigs.append(s_)
+    return jnp.stack(rgbs), jnp.stack(sigs)
+
+
 def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
                  dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool,
                  active=None):
@@ -388,6 +453,12 @@ def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     if _use_fused_kernel(spec):
         return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine,
                                   active=active)
+    # pose refinement needs gradients through the direction encodings,
+    # which the hand-written backward does not produce — XLA path there
+    if (spec.trainable_kernel and not spec.pose_refinement
+            and jax.default_backend() == "tpu"):
+        return _eval_fields_trainable(params, spec, xyz, dirs_p, frame_ids,
+                                      fine, active=active)
     _, _, N, S = xyz.shape
     dt = spec.dtype
     dirs_b = jnp.broadcast_to(dirs_p[:, :, None], (3, N, S))

@@ -156,3 +156,69 @@ class TestFusedField:
                                    rtol=5e-3, atol=5e-4)
         np.testing.assert_allclose(np.asarray(sig_k), np.asarray(sig_ref),
                                    rtol=5e-3, atol=5e-4)
+
+
+class TestTrainableSpaceNet:
+    """Hand-differentiated fused SpaceNet (kernels.spacenet_vjp) vs jax.grad
+    of the XLA path, on pre-encoded planar inputs (interpret mode)."""
+
+    @staticmethod
+    def _ref_preencoded(params, spec, pos_enc, dir_enc, time_enc):
+        from stnerf_tpu.models.mlp import linear_planar, mlp_planar
+        x = mlp_planar(params["stage1"], pos_enc, None, final_activation=True)
+        x = mlp_planar(params["stage2"], jnp.concatenate([x, pos_enc], 0),
+                       None, final_activation=True)
+        sigma = linear_planar(params["density"][0], x, None)[0]
+        feats = [x]
+        if spec.use_dir:
+            feats.append(dir_enc)
+        if spec.use_time:
+            feats.append(time_enc)
+        h = jax.nn.relu(jnp.concatenate(feats, 0))
+        rgb = mlp_planar(params["rgb"], h, None)
+        return rgb, sigma
+
+    @pytest.mark.parametrize("deep,use_dir,use_time", [
+        (False, True, True), (True, True, False), (False, False, False)])
+    def test_value_and_grads_match_xla(self, rng, deep, use_dir, use_time):
+        from stnerf_tpu.kernels.spacenet_vjp import spacenet_planar_trainable
+        from stnerf_tpu.ops.encoding import positional_encoding_planar as pep
+
+        spec = SpaceNetSpec(use_dir=use_dir, use_time=use_time, deep_rgb=deep,
+                            backbone_dim=32, head_dim=16)
+        params = init_spacenet(jax.random.PRNGKey(3), spec)
+        m = 200  # not a tile multiple: exercises zero-padded columns
+        pos_enc = pep(jnp.array(rng.normal(size=(3, m)).astype(np.float32)),
+                      spec.pos_freqs, True)
+        dir_enc = (pep(jnp.array(rng.normal(size=(3, m)).astype(np.float32)),
+                       spec.dir_freqs, True) if use_dir
+                   else jnp.zeros((1, m), jnp.float32))
+        time_enc = (pep(jnp.array(rng.integers(1, 5, size=(1, m))
+                                  .astype(np.float32)), spec.time_freqs, True)
+                    if use_time else None)
+        c_rgb = jnp.array(rng.normal(size=(3, m)).astype(np.float32))
+        c_sig = jnp.array(rng.normal(size=(m,)).astype(np.float32))
+
+        def loss_ref(p, pe_):
+            rgb, sig = self._ref_preencoded(p, spec, pe_, dir_enc, time_enc)
+            return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
+
+        def loss_k(p, pe_):
+            rgb, sig = spacenet_planar_trainable(p, spec, pe_, dir_enc,
+                                                 time_enc, "float32", True, 128)
+            return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
+
+        v_ref, (gp_ref, gx_ref) = jax.value_and_grad(loss_ref, (0, 1))(
+            params, pos_enc)
+        v_k, (gp_k, gx_k) = jax.value_and_grad(loss_k, (0, 1))(params, pos_enc)
+
+        np.testing.assert_allclose(float(v_k), float(v_ref), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_ref),
+                                   rtol=2e-3, atol=2e-4)
+        flat_r, tdef = jax.tree.flatten(gp_ref)
+        flat_k = jax.tree.leaves(gp_k)
+        assert tdef == jax.tree.structure(gp_k)
+        for a, b in zip(flat_k, flat_r):
+            scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3 * scale)

@@ -1,0 +1,112 @@
+"""Training-throughput micro-benchmark (TPU).
+
+Times the scanned training epoch (engine.trainer.make_train_epoch) on a
+synthetic taekwondo-shaped workload and reports rays/s. ``--kernel on|off``
+toggles the hand-differentiated fused SpaceNet kernel
+(cfg.TPU.TRAINABLE_KERNEL) for A/B against the pure-XLA training path.
+
+Usage:  python -u tools/bench_train.py --kernel on --steps 16 --batch 2000
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", choices=["on", "off"], default="on")
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=2000)
+    ap.add_argument("--coarse", type=int, default=48)
+    ap.add_argument("--fine", type=int, default=24)
+    ap.add_argument("--pool", type=int, default=65536)
+    args = ap.parse_args()
+
+    from stnerf_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stnerf_tpu.config import get_cfg
+    from stnerf_tpu.engine import make_optimizer, make_train_epoch
+    from stnerf_tpu.engine.trainer import TrainBatch
+    from stnerf_tpu.models import RayInputs, SceneBoxes, init_layered_params
+    from stnerf_tpu.models.layered import LayeredSpec
+
+    cfg = get_cfg()
+    cfg.DATASETS.LAYER_NUM = 2
+    cfg.MODEL.SAMPLE_METHOD = "BBOX"
+    cfg.MODEL.POSE_REFINEMENT = False
+    cfg.MODEL.USE_SPACE_TIME = True
+    cfg.MODEL.USE_DEFORM_TIME = True
+    cfg.MODEL.DEEP_RGB = False
+    cfg.MODEL.COARSE_RAY_SAMPLING = args.coarse
+    cfg.MODEL.FINE_RAY_SAMPLING = args.fine
+    cfg.MODEL.REMOVE_OUTLIERS = True
+    cfg.TPU.TRAINABLE_KERNEL = args.kernel == "on"
+    spec = LayeredSpec.from_cfg(cfg)
+
+    params = init_layered_params(jax.random.PRNGKey(0), spec)
+    scene = SceneBoxes(
+        bkgd_box=jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]]),
+        boxes=jnp.tile(jnp.array([[[-1.0, -1, 0], [1, 1, 2]],
+                                  [[-1.0, 1, 0], [1, 3, 2]]])[None], (3, 1, 1, 1)),
+        bkgd_near_far=jnp.array([0.5, 16.0]))
+
+    n = args.pool
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] += 2.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pool = TrainBatch(
+        inputs=RayInputs(
+            rays_o=jnp.asarray(np.tile(np.array([[0, 0, -5.0]], np.float32), (n, 1))),
+            rays_d=jnp.asarray(d),
+            frame_ids=jnp.asarray(rng.integers(0, 3, size=(n, 3)).astype(np.float32)),
+            cam_ids=jnp.zeros((n,), jnp.float32),
+            near_far=jnp.tile(jnp.array([[0.5, 16.0]], jnp.float32), (n, 1))),
+        rgb=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
+        labels=jnp.asarray(rng.integers(0, 3, size=(n,)).astype(np.int32)))
+    pool = jax.device_put(pool)
+
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    epoch_fn = make_train_epoch(spec, optimizer, remove_outliers=True)
+
+    def run(params, opt_state, seed):
+        params, opt_state, metrics = epoch_fn(
+            params, opt_state, scene, pool, jax.random.PRNGKey(seed),
+            jnp.asarray(1.0), batch_size=args.batch, steps=args.steps,
+            only_coarse=False)
+        # tunnel-safe sync: pull a small reduction, not block_until_ready
+        loss = float(jax.device_get(jnp.mean(metrics.loss)))
+        return params, opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = run(params, opt_state, 0)
+    print(f"compile+first epoch: {time.time() - t0:.1f}s  loss={loss:.4f}",
+          flush=True)
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        params, opt_state, loss = run(params, opt_state, i + 1)
+        dt = time.time() - t0
+        times.append(dt)
+        rays_s = args.steps * args.batch / dt
+        print(f"epoch {i}: {dt:.3f}s  {rays_s:.0f} rays/s  loss={loss:.4f}",
+              flush=True)
+
+    best = args.steps * args.batch / min(times)
+    print(f"RESULT kernel={args.kernel} coarse={args.coarse} fine={args.fine} "
+          f"batch={args.batch}: {best:.0f} rays/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
