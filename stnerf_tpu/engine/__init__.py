@@ -1,12 +1,12 @@
 from .loss import rgb_loss, mask_alpha_loss
-from .solver import make_optimizer, make_lr_schedule
+from .solver import make_optimizer, make_lr_schedule, make_warmup_multistep
 from .trainer import (TrainBatch, StepMetrics, make_train_step,
                       make_train_epoch, do_train, iterate_ray_batches)
 from .checkpoint import (save_checkpoint, load_checkpoint, latest_checkpoint,
                          load_params_any, export_reference_checkpoint)
 
 __all__ = [
-    "rgb_loss", "mask_alpha_loss", "make_optimizer", "make_lr_schedule",
+    "rgb_loss", "mask_alpha_loss", "make_optimizer", "make_lr_schedule", "make_warmup_multistep",
     "TrainBatch", "StepMetrics", "make_train_step", "make_train_epoch", "do_train",
     "iterate_ray_batches", "save_checkpoint", "load_checkpoint",
     "latest_checkpoint", "load_params_any", "export_reference_checkpoint",

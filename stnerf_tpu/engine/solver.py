@@ -29,7 +29,39 @@ def make_lr_schedule(base_lr: float, warmup_iters: int, start_iters: int,
     return schedule
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
+def make_warmup_multistep(base_lr: float, milestones, gamma: float = 0.1,
+                          warmup_factor: float = 1.0 / 3,
+                          warmup_iters: int = 500,
+                          warmup_method: str = "linear"):
+    """Warmup + multistep gamma decay, identical to the reference's
+    WarmupMultiStepLR (ref: solver/lr_scheduler.py:12-55): during warmup the
+    factor ramps from ``warmup_factor`` to 1 (or stays constant), and the lr
+    is multiplied by ``gamma`` after each milestone step
+    (``bisect_right`` ≡ the count of milestones <= step)."""
+    if list(milestones) != sorted(milestones):
+        raise ValueError(f"milestones must be increasing, got {milestones}")
+    if warmup_method not in ("constant", "linear"):
+        raise ValueError(f"warmup_method must be constant|linear, got {warmup_method}")
+    ms = jnp.asarray(list(milestones), jnp.float32)
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        if warmup_method == "constant":
+            wf = jnp.where(s < warmup_iters, warmup_factor, 1.0)
+        else:
+            alpha = s / max(warmup_iters, 1)
+            wf = jnp.where(s < warmup_iters,
+                           warmup_factor * (1.0 - alpha) + alpha, 1.0)
+        k = jnp.sum(ms <= s)
+        return base_lr * wf * gamma ** k
+
+    return schedule
+
+
+def make_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
+    """``frozen_mask``: optional pytree of bools matching the param tree;
+    True leaves receive zero updates — the reference's frozen/active param
+    groups, which set lr=0 on the frozen group (ref: solver/build.py:20-22)."""
     s = cfg.SOLVER
     sched = make_lr_schedule(s.BASE_LR, s.WARMUP_ITERS, s.START_ITERS,
                              s.END_ITERS, s.LR_SCALE)
@@ -44,4 +76,7 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {s.OPTIMIZER_NAME}")
     chain.append(optax.scale_by_learning_rate(sched))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if frozen_mask is not None:
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
+    return tx

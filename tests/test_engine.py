@@ -30,6 +30,48 @@ class TestLrSchedule:
         # floor
         assert float(s(10_000)) == pytest.approx(0.1, abs=1e-3)
 
+    def test_warmup_multistep_matches_bisect(self):
+        # ref: solver/lr_scheduler.py:12-55
+        from bisect import bisect_right
+
+        from stnerf_tpu.engine import make_warmup_multistep
+
+        milestones = [30, 60, 90]
+        s = make_warmup_multistep(2.0, milestones, gamma=0.1,
+                                  warmup_factor=1.0 / 3, warmup_iters=10)
+        for step in [0, 1, 5, 9, 10, 29, 30, 31, 59, 60, 90, 91, 500]:
+            wf = 1.0
+            if step < 10:
+                alpha = step / 10
+                wf = (1.0 / 3) * (1 - alpha) + alpha
+            expected = 2.0 * wf * 0.1 ** bisect_right(milestones, step)
+            assert float(s(step)) == pytest.approx(expected, rel=1e-5), step
+        # constant warmup variant
+        sc = make_warmup_multistep(1.0, [20], warmup_method="constant",
+                                   warmup_factor=0.25, warmup_iters=5)
+        assert float(sc(0)) == pytest.approx(0.25)
+        assert float(sc(4)) == pytest.approx(0.25)
+        assert float(sc(5)) == pytest.approx(1.0)
+        assert float(sc(20)) == pytest.approx(0.1)
+        with pytest.raises(ValueError):
+            make_warmup_multistep(1.0, [60, 30])
+
+    def test_frozen_mask_zeroes_updates(self):
+        # ref frozen/active param groups: solver/build.py:20-22
+        import optax
+
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        params = {"a": jnp.ones((4,)), "b": jnp.ones((4,))}
+        mask = {"a": True, "b": False}
+        tx = make_optimizer(cfg, frozen_mask=mask)
+        state = tx.init(params)
+        grads = {"a": jnp.full((4,), 2.0), "b": jnp.full((4,), 2.0)}
+        updates, _ = tx.update(grads, state, params)
+        assert np.all(np.asarray(updates["a"]) == 0.0)
+        assert np.any(np.asarray(updates["b"]) != 0.0)
+
 
 class TestMaskLoss:
     def test_gating_and_scale(self):
