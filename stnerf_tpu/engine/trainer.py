@@ -57,7 +57,8 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # inference-only fused kernel off; when spec.trainable_kernel is on
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
-    spec = dataclasses.replace(spec, use_pallas=False)
+    spec = dataclasses.replace(spec, use_pallas=False,
+                               nosort_composite=True)
     edits = EditState.identity(spec.layer_num)
 
     @functools.partial(jax.jit, static_argnames=("only_coarse",),
@@ -109,7 +110,8 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # inference-only fused kernel off; when spec.trainable_kernel is on
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
-    spec = dataclasses.replace(spec, use_pallas=False)
+    spec = dataclasses.replace(spec, use_pallas=False,
+                               nosort_composite=True)
     edits = EditState.identity(spec.layer_num)
 
     @functools.partial(jax.jit, static_argnames=("batch_size", "steps",

@@ -49,7 +49,8 @@ import jax.numpy as jnp
 
 from ..ops.sampling import (ray_aabb_intersect, sample_pdf,
                             stratified_between, stratified_near_far)
-from ..ops.volume import (merge_layers_planar, sort_merge_t,
+from ..ops.volume import (composite_merged_nosort,
+                          merge_layers_planar, sort_merge_t,
                           volume_render_planar)
 from .camera import apply_camera_transform, init_camera_transform
 from .motionnet import MotionNetSpec, apply_motionnet_planar, init_motionnet
@@ -86,6 +87,10 @@ class LayeredSpec:
     compute_dtype: str = "float32"     # matmul dtype ("bfloat16" | "float32")
     use_pallas: bool = False           # fused field-eval kernel (TPU only)
     trainable_kernel: bool = False     # Pallas fwd+bwd SpaceNet in training
+    nosort_composite: bool = False     # sort-free merged compositor: the
+    # cross-layer lax.sort's VJP is ~10x its forward on TPU (inverse-
+    # permutation lane gathers), so training swaps in the factorized-
+    # transmittance equivalent (ops.volume.composite_merged_nosort)
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -298,6 +303,14 @@ def _inverse_edit_points(xyz: jnp.ndarray, edits: EditState) -> jnp.ndarray:
     return (xyz - pivot) / s + pivot
 
 
+def _use_trainable_kernel(spec: LayeredSpec) -> bool:
+    """Hand-differentiated fused SpaceNet path (kernels.spacenet_vjp); pose
+    refinement needs direction-encoding gradients the kernel does not
+    produce, so it falls back to XLA."""
+    return (spec.trainable_kernel and not spec.pose_refinement
+            and jax.default_backend() == "tpu")
+
+
 def _use_fused_kernel(spec: LayeredSpec) -> bool:
     """The fully-fused Pallas path handles per-layer time deformation inside
     the kernel; the (rare) view-deform net falls back to the XLA path."""
@@ -396,7 +409,7 @@ def _eval_fields_trainable(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     sn_l = spec.spacenet_spec(bkgd=False)
 
     if spec.use_dir:
-        dir_enc = pe(dirs_p, sn_b.dir_freqs, inc)
+        dir_enc = pe(dirs_p, sn_b.dir_freqs, inc, recursive=True)
         dir_b = jnp.broadcast_to(dir_enc[:, :, None],
                                  (dir_enc.shape[0], N, S)).reshape(-1, M)
     else:
@@ -404,10 +417,11 @@ def _eval_fields_trainable(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
         dir_b = jnp.zeros((1, M), jnp.float32)
 
     def run(net_params, sspec, x, t_ids):
-        pos = pe(x.reshape(3, M), sspec.pos_freqs, inc)
+        pos = pe(x.reshape(3, M), sspec.pos_freqs, inc, recursive=True)
         te = None
         if sspec.use_time:
-            t1 = pe(t_ids[None, :], sspec.time_freqs, inc)  # (time_dim, N)
+            t1 = pe(t_ids[None, :], sspec.time_freqs, inc,
+                    recursive=True)  # (time_dim, N)
             te = jnp.broadcast_to(t1[:, :, None], (t1.shape[0], N, S)).reshape(-1, M)
         rgb, sig = spacenet_planar_trainable(net_params, sspec, pos, dir_b, te,
                                              spec.compute_dtype)
@@ -453,10 +467,7 @@ def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     if _use_fused_kernel(spec):
         return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine,
                                   active=active)
-    # pose refinement needs gradients through the direction encodings,
-    # which the hand-written backward does not produce — XLA path there
-    if (spec.trainable_kernel and not spec.pose_refinement
-            and jax.default_backend() == "tpu"):
+    if _use_trainable_kernel(spec):
         return _eval_fields_trainable(params, spec, xyz, dirs_p, frame_ids,
                                       fine, active=active)
     _, _, N, S = xyz.shape
@@ -501,25 +512,28 @@ def _deform(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     """
     lp1, _, N, S = xyz.shape
     dt = spec.dtype
+    rec = _use_trainable_kernel(spec)  # recursion trig on the TPU hot path
 
     if spec.use_deform_view:
         v_spec = spec.motion_spec(input_time=False)
         ids = jnp.broadcast_to(cam_ids[None, :, None], (lp1, N, S))
         flow = jax.vmap(lambda x, t: apply_motionnet_planar(
-            params["view_deform"], v_spec, x, t, dt))(xyz, ids)
+            params["view_deform"], v_spec, x, t, dt, rec))(xyz, ids)
         xyz = xyz + flow
 
     if spec.use_deform_time and spec.layer_num:
         m_spec = spec.motion_spec(input_time=True)
         ids = jnp.broadcast_to(frame_ids.T[1:, :, None], (spec.layer_num, N, S))
-        flow = jax.vmap(lambda p, x, t: apply_motionnet_planar(p, m_spec, x, t, dt)
+        flow = jax.vmap(lambda p, x, t: apply_motionnet_planar(p, m_spec, x, t,
+                                                               dt, rec)
                         )(params["motion"], xyz[1:], ids)
         xyz = xyz.at[1:].add(flow)
 
     if spec.bkgd_use_deform_time:
         b_spec = spec.motion_spec(input_time=False)
         ids = jnp.broadcast_to(frame_ids[:, 0][:, None], (N, S))
-        flow = apply_motionnet_planar(params["bkgd_motion"], b_spec, xyz[0], ids, dt)
+        flow = apply_motionnet_planar(params["bkgd_motion"], b_spec, xyz[0],
+                                      ids, dt, rec)
         xyz = xyz.at[0].add(flow)
     return xyz
 
@@ -633,8 +647,11 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     per_layer_c = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
                            )(t_c, rgb_c, sig_c)
     coarse_layers = LayerOutputs(per_layer_c.color, per_layer_c.depth, per_layer_c.acc)
-    t_m, rgb_m, sig_m = merge_layers_planar(t_c, rgb_c, sig_c)
-    mixed_c = volume_render_planar(t_m, rgb_m, sig_m, bw)
+    if spec.nosort_composite:
+        mixed_c = composite_merged_nosort(t_c, rgb_c, sig_c, bw)
+    else:
+        t_m, rgb_m, sig_m = merge_layers_planar(t_c, rgb_c, sig_c)
+        mixed_c = volume_render_planar(t_m, rgb_m, sig_m, bw)
     coarse = LayerOutputs(mixed_c.color, mixed_c.depth, mixed_c.acc)
 
     if only_coarse:
@@ -662,9 +679,13 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                            )(t_f, rgb_f, sig_f)
     fine_layers = LayerOutputs(per_layer_f.color, per_layer_f.depth, per_layer_f.acc)
 
-    t_mf, rgb_mf, sig_mf = merge_layers_planar(t_f, rgb_f, sig_f)
-    sig_mf = jnp.where(t_mf >= edits.near, sig_mf, 0.0)  # ref: :605
-    mixed_f = volume_render_planar(t_mf, rgb_mf, sig_mf, bw)
+    if spec.nosort_composite:
+        sig_fc = jnp.where(t_f >= edits.near, sig_f, 0.0)  # ref: :605
+        mixed_f = composite_merged_nosort(t_f, rgb_f, sig_fc, bw)
+    else:
+        t_mf, rgb_mf, sig_mf = merge_layers_planar(t_f, rgb_f, sig_f)
+        sig_mf = jnp.where(t_mf >= edits.near, sig_mf, 0.0)  # ref: :605
+        mixed_f = volume_render_planar(t_mf, rgb_mf, sig_mf, bw)
     fine = LayerOutputs(mixed_f.color, mixed_f.depth, mixed_f.acc)
 
     return RenderOutputs(fine, coarse, fine_layers, coarse_layers, hit)

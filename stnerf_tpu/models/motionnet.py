@@ -55,11 +55,14 @@ def apply_motionnet(params: dict, spec: MotionNetSpec, xyz: jnp.ndarray,
 
 
 def apply_motionnet_planar(params: dict, spec: MotionNetSpec, xyz: jnp.ndarray,
-                           ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+                           ids: jnp.ndarray, dtype=None,
+                           recursive_enc: bool = False) -> jnp.ndarray:
     """Channel-leading variant: xyz (3, ...), ids (...) -> flow (3, ...)."""
     if spec.input_time:
-        enc = lerp_encoded_time_planar(xyz, ids, spec.freqs, spec.include_input)
+        enc = lerp_encoded_time_planar(xyz, ids, spec.freqs, spec.include_input,
+                                       recursive_enc)
     else:
         enc = positional_encoding_planar(jnp.concatenate([xyz, ids[None]], axis=0),
-                                         spec.freqs, spec.include_input)
+                                         spec.freqs, spec.include_input,
+                                         recursive_enc)
     return mlp_planar(params["net"], enc, dtype).astype(jnp.float32)

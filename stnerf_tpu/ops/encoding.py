@@ -43,7 +43,8 @@ def positional_encoding(x: jnp.ndarray, num_freqs: int, include_input: bool = Tr
 
 
 def positional_encoding_planar(x: jnp.ndarray, num_freqs: int,
-                               include_input: bool = True) -> jnp.ndarray:
+                               include_input: bool = True,
+                               recursive: bool = False) -> jnp.ndarray:
     """Channel-leading encoding: (C, ...) -> (C * (include + 2L), ...).
 
     TPU tiles the last two axes; tensors with a tiny trailing channel axis
@@ -51,10 +52,22 @@ def positional_encoding_planar(x: jnp.ndarray, num_freqs: int,
     *leading* axis makes every intermediate (C', N, S)-shaped with large
     minor dims — no padding. Channel order matches
     :func:`positional_encoding` ([x | sin(f0 x) | cos(f0 x) | ...]).
+
+    ``recursive=True`` derives sin/cos(2^k x) by double-angle recursion from
+    one sin/cos pair (3 multiplies per octave instead of 2 transcendentals;
+    f32 recursion error ~2^L*eps, well under bf16 resolution) — used on the
+    TPU training hot path; the default exact form is the golden-parity path.
     """
     if num_freqs == 0:
         return x if include_input else x[:0]
     pieces = [x] if include_input else []
+    if recursive:
+        s, c = jnp.sin(x), jnp.cos(x)
+        pieces += [s, c]
+        for _ in range(num_freqs - 1):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            pieces += [s, c]
+        return jnp.concatenate(pieces, axis=0)
     for i in range(num_freqs):
         xf = x * jnp.asarray(2.0**i, x.dtype)
         pieces.append(jnp.sin(xf))
@@ -63,15 +76,18 @@ def positional_encoding_planar(x: jnp.ndarray, num_freqs: int,
 
 
 def lerp_encoded_time_planar(xyz: jnp.ndarray, t: jnp.ndarray, num_freqs: int,
-                             include_input: bool = True) -> jnp.ndarray:
+                             include_input: bool = True,
+                             recursive: bool = False) -> jnp.ndarray:
     """Planar variant of :func:`lerp_encoded_time`: xyz (C, ...), t (...)
     -> ((C+1)*(include+2L), ...)."""
     lower = jnp.floor(t)
     w = t - lower
     e_lo = positional_encoding_planar(
-        jnp.concatenate([xyz, lower[None]], axis=0), num_freqs, include_input)
+        jnp.concatenate([xyz, lower[None]], axis=0), num_freqs, include_input,
+        recursive)
     e_hi = positional_encoding_planar(
-        jnp.concatenate([xyz, (lower + 1.0)[None]], axis=0), num_freqs, include_input)
+        jnp.concatenate([xyz, (lower + 1.0)[None]], axis=0), num_freqs,
+        include_input, recursive)
     return (1.0 - w) * e_lo + w * e_hi
 
 

@@ -116,6 +116,87 @@ def merge_layers_planar(t: jnp.ndarray, rgb: jnp.ndarray, sigma: jnp.ndarray):
     return t_s, jnp.stack([r_s, g_s, b_s], axis=0), sig_s
 
 
+def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
+                            sigma: jnp.ndarray,
+                            boarder_weight: float = 1e10) -> RenderedRays:
+    """Merged-layer compositing WITHOUT the cross-layer sort — the training
+    path's compositor.
+
+    Numerically equivalent (up to float product reassociation) to
+    ``volume_render_planar(*merge_layers_planar(t, rgb, sigma))``: the merged
+    sequence's exclusive transmittance at a sample factorizes into each
+    layer's own cumulative product evaluated at that depth, and the merged
+    segment length is the distance to the nearest next sample across layers.
+
+    Why it exists: ``lax.sort``'s VJP applies the inverse permutation with
+    lane-dimension gathers — ~10x the forward cost on TPU (measured 2.4 ms
+    fwd vs 23.7 ms fwd+bwd at L=3, N=2000, S=120). Here the depths are
+    stop-gradient (as in training: ref trainer detaches sample positions),
+    so every comparison, count and one-hot is a constant, and gradients flow
+    only through per-layer cumprods and one-hot *matmuls*. Ties across
+    layers follow the stable concat order except between equal depths with
+    nonzero density (measure-zero under jittered sampling).
+
+    t: (L, N, S) per-layer ascending depths (treated as constants);
+    rgb: (L, 3, N, S) raw; sigma: (L, N, S) raw. ``weights`` in the result
+    is layer-major (N, L*S, 1) (unsorted order).
+    """
+    L, N, S = t.shape
+    inf = jnp.float32(3.4e38)
+    t = jax.lax.stop_gradient(t)
+    t_next_own = jnp.concatenate([t[:, :, 1:], jnp.full((L, N, 1), inf)], -1)
+
+    # Constant per-pair quantities, one (N, S_a, S_b) cube live at a time.
+    nxt = [t_next_own[b] for b in range(L)]      # per-layer merged successor
+    cnt = [[None] * L for _ in range(L)]         # cnt[a][b]: # of a's preceding b's samples
+    for a in range(L):
+        for b in range(L):
+            if a == b:
+                continue
+            cube = t[a][:, :, None] <= t[b][:, None, :] if a < b else \
+                   t[a][:, :, None] < t[b][:, None, :]   # (N, S_a, S_b)
+            cnt[a][b] = jnp.sum(cube, axis=1).astype(jnp.int32)  # (N, S_b)
+            # successor candidate from layer a at b's samples: min of a's
+            # depths strictly/weakly after (stable order: > for a<b would
+            # skip a's own equal value, but equal values of a precede b when
+            # a<b, so the next *distinct* element is > t_b; for a>b equal
+            # values follow b, so >= t_b qualifies).
+            above = jnp.where(cube, inf, t[a][:, :, None]) if a > b else \
+                jnp.where(t[a][:, :, None] > t[b][:, None, :],
+                          t[a][:, :, None], inf)
+            nxt[b] = jnp.minimum(nxt[b], jnp.min(above, axis=1))
+    delta = [jnp.where(jnp.isfinite(nxt[b]), nxt[b] - t[b], boarder_weight)
+             for b in range(L)]
+    delta = jax.lax.stop_gradient(jnp.stack(delta))          # (L, N, S)
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+    f = 1.0 - alpha + 1e-10
+    # P[l, :, m] = product of layer l's first m factors (P[:, :, 0] = 1)
+    P = jnp.concatenate([jnp.ones((L, N, 1), f.dtype),
+                         jnp.cumprod(f, axis=-1)], axis=-1)  # (L, N, S+1)
+
+    own_excl = P[:, :, :S]
+    T = []
+    for b in range(L):
+        Tb = own_excl[b]
+        for a in range(L):
+            if a == b:
+                continue
+            # gather P[a] at constant counts via a one-hot matmul: the
+            # backward is the transposed matmul, not a lane scatter
+            oh = jax.nn.one_hot(cnt[a][b], S + 1, dtype=f.dtype)  # (N, S, S+1)
+            Tb = Tb * jnp.einsum("nsm,nm->ns", oh, P[a])
+        T.append(Tb)
+    T = jnp.stack(T)
+
+    w = alpha * T                                             # (L, N, S)
+    color = jnp.einsum("lns,lcns->nc", w, jax.nn.sigmoid(rgb))
+    depth = jnp.sum(w * t, axis=(0, 2))[:, None]
+    acc = jnp.sum(w, axis=(0, 2))[:, None]
+    weights = jnp.moveaxis(w, 0, 1).reshape(N, L * S)[..., None]
+    return RenderedRays(color, depth, acc, weights)
+
+
 def sort_merge_t(t_a: jnp.ndarray, t_b: jnp.ndarray) -> jnp.ndarray:
     """Sorted union of two per-ray depth sets ((N,S1),(N,S2)->(N,S1+S2)).
 

@@ -253,3 +253,66 @@ class TestMetrics:
         assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
         noisy = img + 0.3 * jnp.array(rng.normal(size=(16, 16, 3)).astype(np.float32))
         assert float(ssim(img, noisy)) < 0.9
+
+
+def test_recursive_encoding_matches_exact():
+    """Double-angle-recursion trig (TPU hot path) vs the exact encoder."""
+    import jax.numpy as jnp
+
+    from stnerf_tpu.ops.encoding import positional_encoding_planar
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-20, 20, size=(4, 500)).astype(np.float32))
+    exact = positional_encoding_planar(x, 10, True)
+    rec = positional_encoding_planar(x, 10, True, recursive=True)
+    # recursion error compounds ~2x/octave from f32 sin/cos; the invariant
+    # that matters is staying under the bf16 lsb (~4e-3) of the compute path
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(exact),
+                               atol=2e-3, rtol=0)
+
+
+def test_nosort_composite_matches_sorted_path():
+    """Training compositor (sort-free factorized transmittance) vs
+    merge_layers_planar + volume_render_planar: values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from stnerf_tpu.ops.volume import (composite_merged_nosort,
+                                       merge_layers_planar,
+                                       volume_render_planar)
+
+    L, N, S = 3, 64, 24
+    rng = np.random.default_rng(7)
+    t = jnp.asarray(np.sort(rng.uniform(0.5, 16, size=(L, N, S))
+                            .astype(np.float32), axis=-1))
+    # degenerate rows: a "missed" layer with all-zero depths and densities
+    t = t.at[1, :8].set(0.0)
+    rgb = jnp.asarray(rng.normal(size=(L, 3, N, S)).astype(np.float32))
+    sig = jnp.asarray(rng.normal(size=(L, N, S)).astype(np.float32))
+    sig = sig.at[1, :8].set(0.0)
+
+    def sorted_loss(rgb, sig, reduce=True):
+        out = volume_render_planar(*merge_layers_planar(t, rgb, sig), 1e10)
+        return (jnp.sum(out.color ** 2) + jnp.sum(out.acc)
+                + jnp.sum(out.depth)) if reduce else out
+
+    def nosort_loss(rgb, sig, reduce=True):
+        out = composite_merged_nosort(t, rgb, sig, 1e10)
+        return (jnp.sum(out.color ** 2) + jnp.sum(out.acc)
+                + jnp.sum(out.depth)) if reduce else out
+
+    ref = sorted_loss(rgb, sig, reduce=False)
+    new = nosort_loss(rgb, sig, reduce=False)
+    np.testing.assert_allclose(np.asarray(new.color), np.asarray(ref.color),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new.depth), np.asarray(ref.depth),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.acc), np.asarray(ref.acc),
+                               rtol=1e-5, atol=1e-6)
+
+    gr_ref, gs_ref = jax.grad(sorted_loss, (0, 1))(rgb, sig)
+    gr_new, gs_new = jax.grad(nosort_loss, (0, 1))(rgb, sig)
+    np.testing.assert_allclose(np.asarray(gr_new), np.asarray(gr_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs_new), np.asarray(gs_ref),
+                               rtol=1e-4, atol=1e-5)
