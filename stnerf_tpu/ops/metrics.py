@@ -41,9 +41,14 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window: int = 3,
     def filt(img):
         # depthwise 2-D convolution, valid padding
         img4 = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
+        # HIGHEST precision: TPU convs default to bf16 inputs, and the
+        # variance terms (filt(x^2) - mu^2) cancel catastrophically —
+        # bf16 noise makes denominators near-zero and SSIM lands far
+        # outside [-1, 1] on smooth renders.
         out = jax.lax.conv_general_dilated(
             img4, jnp.moveaxis(kern2d, (0, 1, 2, 3), (2, 3, 1, 0)),
-            window_strides=(1, 1), padding="VALID")
+            window_strides=(1, 1), padding="VALID",
+            precision=jax.lax.Precision.HIGHEST)
         return jnp.moveaxis(out[:, 0], 0, -1)
 
     mu_p, mu_g = filt(pred), filt(gt)

@@ -316,3 +316,23 @@ def test_nosort_composite_matches_sorted_path():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gs_new), np.asarray(gs_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ssim_bounded_on_smooth_images():
+    """SSIM regression guard: smooth (low-variance-window) images exercise
+    the catastrophic cancellation in the variance terms that made TPU bf16
+    convs return SSIM values far outside [-1, 1] (fixed with
+    precision=HIGHEST in the conv)."""
+    import jax.numpy as jnp
+
+    from stnerf_tpu.ops.metrics import ssim
+
+    h, w = 120, 160
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    gt = np.stack([xx, yy, 0.5 * (xx + yy)], -1).astype(np.float32)
+    rng = np.random.default_rng(0)
+    pred = np.clip(gt + rng.normal(scale=0.02, size=gt.shape), 0, 1).astype(np.float32)
+    s = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
+    assert -1.0 <= s <= 1.0
+    assert s > 0.5  # structurally similar
