@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_GPU_RAYS_PER_SEC = 5.0e4
 
 WIDTH, HEIGHT = 1920, 1080
-CHUNK = 32768
+# 64x64-pixel chunks: small square screen tiles maximize the chunk-level
+# performer-field skip rate (sweep in RESULTS.md: 32768 -> 4096 rays/chunk
+# is 12.9 -> 7.9 s/frame)
+CHUNK = 4096
+TILE_COLS = 64
 
 
 def main():
@@ -73,7 +77,7 @@ def main():
     def frame():
         return render_pose_host(params, spec, scene, K, c2w, frame_ids,
                                 near_far, edits, HEIGHT, WIDTH, chunk=CHUNK,
-                                key=key)
+                                tile_cols=TILE_COLS, key=key)
 
     t0 = time.time()
     frame()

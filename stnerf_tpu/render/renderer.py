@@ -307,7 +307,8 @@ class LayeredNeuralRenderer:
         return render_pose_host(
             self.params, self.spec, self.scene, K, pose, frame_ids,
             self.dataset.near_far, edits, self.height, self.width,
-            chunk=self.cfg.TPU.RENDER_CHUNK, far_clip=self.far,
+            chunk=self.cfg.TPU.RENDER_CHUNK,
+            tile_cols=self.cfg.TPU.TILE_COLS, far_clip=self.far,
             mesh=self.mesh)
 
     def _video_dir(self, sub: str) -> str:
