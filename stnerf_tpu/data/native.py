@@ -15,12 +15,33 @@ _LIB = None
 _SEARCHED = False
 
 
+def _maybe_build(native_dir: str) -> None:
+    """Compile the library from source on first use (the binary is not
+    checked in — it cannot be reviewed and drifts from the source). Build
+    failures are non-fatal: every caller has a NumPy fallback."""
+    import subprocess
+
+    src = os.path.join(native_dir, "stnerf_host.cpp")
+    out = os.path.join(native_dir, "libstnerf_host.so")
+    if not os.path.exists(src) or os.environ.get("STNERF_NO_BUILD"):
+        return
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return
+    try:
+        subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                        "-std=c++17", "-o", out, src],
+                       check=True, capture_output=True, timeout=300)
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _SEARCHED
     if _SEARCHED:
         return _LIB
     _SEARCHED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    _maybe_build(os.path.join(here, "native"))
     for cand in (os.environ.get("STNERF_HOST_LIB"),
                  os.path.join(here, "native", "libstnerf_host.so")):
         if cand and os.path.exists(cand):

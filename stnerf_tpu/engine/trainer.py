@@ -17,7 +17,7 @@ from __future__ import annotations
 import functools
 import logging
 import time
-from typing import Iterator, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,6 @@ import optax
 
 from ..models import EditState, RayInputs, SceneBoxes, render_rays
 from ..models.layered import LayeredSpec
-from ..ops.metrics import psnr as psnr_fn
 from .checkpoint import save_checkpoint
 from .loss import mask_alpha_loss, rgb_loss
 
@@ -45,12 +44,57 @@ class StepMetrics(NamedTuple):
     psnr_fine: jnp.ndarray
 
 
+class _RawMetrics(NamedTuple):
+    """Linear (mean/sum-composable) per-step quantities. PSNR is derived
+    after any cross-device reduction so multi-chip logs are exact."""
+    loss: jnp.ndarray
+    mse_c: jnp.ndarray
+    mse_f: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def _losses(spec, edits, remove_outliers, params, scene, batch: TrainBatch,
+            key, mask_on, only_coarse: bool,
+            mask_scale: float = 1.0) -> tuple[jnp.ndarray, _RawMetrics]:
+    """Shared forward+loss: MSE on coarse (+fine) mixed composites plus the
+    gated mask-alpha loss (ref: engine/layered_trainer.py:216-281).
+
+    ``mask_scale`` compensates the mask loss on sharded batches: the
+    reference's term is a *sum* over rays, so a shard computing it over
+    batch/D rays multiplies by D before the cross-device mean."""
+    out = render_rays(params, spec, scene, batch.inputs, edits, key,
+                      only_coarse=only_coarse)
+    mse_c = rgb_loss(out.coarse.color, batch.rgb)
+    m = (mask_alpha_loss(out.coarse_layers.acc, batch.labels) * mask_on * mask_scale
+         if remove_outliers else jnp.asarray(0.0))
+    loss = mse_c + m
+    mse_f = mse_c  # only_coarse: fine == coarse composite, as the ref logs it
+    if not only_coarse:
+        mse_f = rgb_loss(out.fine.color, batch.rgb)
+        m_f = (mask_alpha_loss(out.fine_layers.acc, batch.labels) * mask_on * mask_scale
+               if remove_outliers else jnp.asarray(0.0))
+        loss = loss + mse_f + m_f
+        m = m + m_f
+    return loss, _RawMetrics(loss, mse_c, mse_f, m)
+
+
+def _finalize_metrics(raw: _RawMetrics, only_coarse: bool) -> StepMetrics:
+    rgb = raw.mse_c + (0.0 if only_coarse else raw.mse_f)
+    to_psnr = lambda m: -10.0 * jnp.log10(jnp.maximum(m, 1e-12))
+    return StepMetrics(raw.loss, rgb, raw.mask,
+                       to_psnr(raw.mse_c), to_psnr(raw.mse_f))
+
+
 def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
                     remove_outliers: bool = False):
     """Returns step(params, opt_state, scene, batch, key, mask_on,
     only_coarse) -> (params, opt_state, StepMetrics). ``only_coarse`` is
     static (two compiled variants); ``mask_on`` is a traced 0/1 scalar so
-    epoch scheduling does not retrigger compilation."""
+    epoch scheduling does not retrigger compilation.
+
+    Sharding is expressed on the *inputs* (batch leaves sharded over the
+    ``data`` axis, params replicated or layer-sharded); jit/XLA inserts the
+    gradient ``psum`` over ICI."""
 
     import dataclasses
 
@@ -66,34 +110,19 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     def step(params, opt_state, scene: SceneBoxes, batch: TrainBatch,
              key, mask_on, only_coarse: bool = False):
         def loss_fn(p):
-            out = render_rays(p, spec, scene, batch.inputs, edits, key,
-                              only_coarse=only_coarse)
-            l_c = rgb_loss(out.coarse.color, batch.rgb)
-            m_c = (mask_alpha_loss(out.coarse_layers.acc, batch.labels) * mask_on
-                   if remove_outliers else jnp.asarray(0.0))
-            loss = l_c + m_c
-            l_f = jnp.asarray(0.0)
-            m_f = jnp.asarray(0.0)
-            if not only_coarse:
-                l_f = rgb_loss(out.fine.color, batch.rgb)
-                if remove_outliers:
-                    m_f = mask_alpha_loss(out.fine_layers.acc, batch.labels) * mask_on
-                loss = loss + l_f + m_f
-            metrics = StepMetrics(loss, l_c + l_f, m_c + m_f,
-                                  psnr_fn(out.coarse.color, batch.rgb),
-                                  psnr_fn(out.fine.color, batch.rgb))
-            return loss, metrics
+            return _losses(spec, edits, remove_outliers, p, scene, batch,
+                           key, mask_on, only_coarse)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, raw), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return params, opt_state, _finalize_metrics(raw, only_coarse)
 
     return step
 
 
 def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
-                     remove_outliers: bool = False):
+                     remove_outliers: bool = False, mesh=None):
     """Whole-epoch device program: ``lax.scan`` over steps sampling batches
     from a device-resident ray pool.
 
@@ -101,11 +130,25 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     cost ~20x the step's compute; with the pool resident in HBM the host
     only uploads it once and reads back per-step metrics per epoch.
 
+    With a multi-device ``mesh`` the whole epoch runs under ``shard_map``
+    over the ``data`` axis: the pool's leading axis is sharded across chips,
+    each chip permutes its own shard and gathers batch/D rays per step
+    (gathers stay chip-local — no collective traffic for data), gradients
+    are ``pmean``-reduced over ICI and the replicated optimizer update runs
+    identically everywhere. This is the green-field data-parallel trainer
+    the reference never had (SURVEY.md §2.3).
+
     Returns epoch_fn(params, opt_state, scene, pool, key, mask_on,
     batch_size, steps, only_coarse) -> (params, opt_state, stacked metrics).
-    ``pool`` is a TrainBatch whose leaves hold the WHOLE pool (N_pool, ...).
+    ``pool`` is a TrainBatch whose leaves hold the WHOLE pool (N_pool, ...);
+    with a mesh they must be sharded over the data axis (``shard_pool``)
+    and N_pool, batch_size must divide by the data-axis size.
     """
     import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
     # inference-only fused kernel off; when spec.trainable_kernel is on
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
@@ -114,102 +157,150 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
                                nosort_composite=True)
     edits = EditState.identity(spec.layer_num)
 
-    @functools.partial(jax.jit, static_argnames=("batch_size", "steps",
-                                                 "only_coarse"),
-                       donate_argnums=(0, 1))
-    def epoch(params, opt_state, scene: SceneBoxes, pool: TrainBatch, key,
-              mask_on, batch_size: int, steps: int, only_coarse: bool = False):
+    n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) != 1 and n_data > 1:
+        raise ValueError("epoch training is data-parallel; use a mesh with "
+                         "model axis 1 (params are replicated)")
+
+    def scan_epoch(params, opt_state, scene, pool, key, mask_on,
+                   batch_size, steps, only_coarse, mask_scale=1.0,
+                   fold_axis=False):
         n_pool = pool.rgb.shape[0]
         key, pkey = jax.random.split(key)
+        if fold_axis:  # distinct shard-local permutation & sample jitter
+            didx = jax.lax.axis_index(DATA_AXIS)
+            pkey = jax.random.fold_in(pkey, didx)
         order = jax.random.permutation(pkey, n_pool)[:steps * batch_size]
         order = order.reshape(steps, batch_size)
 
         def body(carry, idx):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
+            if fold_axis:
+                sub = jax.random.fold_in(sub, didx)
             batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pool)
 
             def loss_fn(p):
-                out = render_rays(p, spec, scene, batch.inputs, edits, sub,
-                                  only_coarse=only_coarse)
-                l_c = rgb_loss(out.coarse.color, batch.rgb)
-                m_c = (mask_alpha_loss(out.coarse_layers.acc, batch.labels) * mask_on
-                       if remove_outliers else jnp.asarray(0.0))
-                loss = l_c + m_c
-                l_f = jnp.asarray(0.0)
-                m_f = jnp.asarray(0.0)
-                if not only_coarse:
-                    l_f = rgb_loss(out.fine.color, batch.rgb)
-                    if remove_outliers:
-                        m_f = mask_alpha_loss(out.fine_layers.acc, batch.labels) * mask_on
-                    loss = loss + l_f + m_f
-                metrics = StepMetrics(loss, l_c + l_f, m_c + m_f,
-                                      psnr_fn(out.coarse.color, batch.rgb),
-                                      psnr_fn(out.fine.color, batch.rgb))
-                return loss, metrics
+                return _losses(spec, edits, remove_outliers, p, scene, batch,
+                               sub, mask_on, only_coarse,
+                               mask_scale=mask_scale)
 
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (_, raw), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if fold_axis:
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                raw = jax.tree.map(lambda m: jax.lax.pmean(m, DATA_AXIS), raw)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, key), metrics
+            return (params, opt_state, key), raw
 
-        (params, opt_state, _), metrics = jax.lax.scan(
+        (params, opt_state, _), raw = jax.lax.scan(
             body, (params, opt_state, key), order)
-        return params, opt_state, metrics
+        return params, opt_state, _finalize_metrics(raw, only_coarse)
+
+    @functools.partial(jax.jit, static_argnames=("batch_size", "steps",
+                                                 "only_coarse"),
+                       donate_argnums=(0, 1))
+    def epoch(params, opt_state, scene: SceneBoxes, pool: TrainBatch, key,
+              mask_on, batch_size: int, steps: int, only_coarse: bool = False):
+        if n_data == 1:
+            return scan_epoch(params, opt_state, scene, pool, key, mask_on,
+                              batch_size, steps, only_coarse)
+
+        assert batch_size % n_data == 0, (batch_size, n_data)
+
+        def shard_body(params, opt_state, scene, pool, key, mask_on):
+            # per-shard batch is batch/D; the mask loss is a sum over rays
+            # in the reference, so scale by D before the pmean (the
+            # outlier-count gate then applies at per-shard granularity,
+            # same rays-per-threshold density as the global gate)
+            return scan_epoch(params, opt_state, scene, pool, key, mask_on,
+                              batch_size // n_data, steps, only_coarse,
+                              mask_scale=float(n_data), fold_axis=True)
+
+        mapped = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P(), P()))
+        return mapped(params, opt_state, scene, pool, key, mask_on)
 
     return epoch
 
 
-def iterate_ray_batches(rays: np.ndarray, rgbs: np.ndarray, labels: np.ndarray,
-                        near_fars: np.ndarray, spec: LayeredSpec,
-                        batch_size: int, rng: np.random.Generator) -> Iterator[TrainBatch]:
-    """Shuffle the pregenerated ray pool and yield fixed-size device batches
-    (replaces the torch DataLoader; ref: data/build.py:13-27).
+def shard_pool(pool: TrainBatch, mesh) -> tuple[TrainBatch, int]:
+    """Pad the pool's ray axis to a multiple of the data-axis size (edge
+    replication — a handful of duplicated rays) and place every leaf with
+    its leading axis sharded across the mesh. Returns (pool, padded_n)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    The tail remainder is dropped — batch shapes must be static under jit.
-    """
+    from ..parallel.mesh import DATA_AXIS
+
+    d = mesh.shape[DATA_AXIS]
+    n = pool.rgb.shape[0]
+    n_pad = ((n + d - 1) // d) * d
+    if n_pad != n:
+        pool = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [jnp.asarray(x),
+                 jnp.broadcast_to(jnp.asarray(x)[-1:],
+                                  (n_pad - n,) + x.shape[1:])]), pool)
+    s = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), pool), n_pad
+
+
+def make_pool(train_pool: dict, spec: LayeredSpec) -> TrainBatch:
+    """Decode the pregenerated {rays, rgbs, labels, near_fars} arrays into a
+    device-ready TrainBatch pool (replaces the torch DataLoader;
+    ref: data/build.py:13-27)."""
     from ..models.rays import unpack_rays
 
-    n = rays.shape[0]
-    order = rng.permutation(n)
-    for i in range(0, n - batch_size + 1, batch_size):
-        idx = order[i:i + batch_size]
-        inputs = unpack_rays(rays[idx], spec, near_fars[idx])
-        yield TrainBatch(inputs, jnp.asarray(rgbs[idx], jnp.float32),
-                         jnp.asarray(labels[idx].reshape(-1), jnp.int32))
+    return TrainBatch(
+        inputs=unpack_rays(train_pool["rays"], spec, train_pool["near_fars"]),
+        rgb=jnp.asarray(np.asarray(train_pool["rgbs"]), jnp.float32),
+        labels=jnp.asarray(np.asarray(train_pool["labels"]).reshape(-1), jnp.int32))
 
 
 def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
-             train_pool: dict, step_fn=None, optimizer=None, *,
+             train_pool: dict, optimizer=None, *, mesh=None,
              val_fn=None, resume_epoch: int = 0, psnr_thres: float = 100.0,
              seed: int = 0, logger: logging.Logger | None = None,
              swriter=None):
     """Training host loop (ref: engine/layered_trainer.py:133-331).
 
     ``train_pool`` holds the pregenerated ray arrays {rays, rgbs, labels,
-    near_fars}; the whole pool is uploaded to the device once and each epoch
-    runs as one scanned device program (see :func:`make_train_epoch`).
+    near_fars}; the whole pool is uploaded once — sharded over ``mesh``'s
+    data axis when given — and each epoch runs as one scanned device
+    program (see :func:`make_train_epoch`).
     ``val_fn(params, epoch)`` optionally renders validation images.
-    ``step_fn`` is accepted for API compatibility but unused.
     """
-    from ..models.rays import unpack_rays
-
     logger = logger or logging.getLogger("stnerf_tpu.train")
     s = cfg.SOLVER
     batch_size = s.IMS_PER_BATCH
     key = jax.random.PRNGKey(seed)
     opt_state = optimizer.init(params)
+
+    n_data = 1
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS
+        n_data = mesh.shape[DATA_AXIS]
+    if batch_size % max(n_data, 1):
+        batch_size -= batch_size % n_data
+        logger.warning("IMS_PER_BATCH trimmed to %d (multiple of data axis %d)",
+                       batch_size, n_data)
     epoch_fn = make_train_epoch(spec, optimizer,
-                                remove_outliers=cfg.MODEL.REMOVE_OUTLIERS)
+                                remove_outliers=cfg.MODEL.REMOVE_OUTLIERS,
+                                mesh=mesh if n_data > 1 else None)
 
     n_pool = train_pool["rays"].shape[0]
     steps = max(n_pool // batch_size, 1)
-    pool = TrainBatch(
-        inputs=unpack_rays(train_pool["rays"], spec, train_pool["near_fars"]),
-        rgb=jnp.asarray(train_pool["rgbs"], jnp.float32),
-        labels=jnp.asarray(train_pool["labels"].reshape(-1), jnp.int32))
-    pool = jax.device_put(pool)
-    logger.info("pool resident on device: %d rays, %d steps/epoch", n_pool, steps)
+    pool = make_pool(train_pool, spec)
+    if n_data > 1:
+        pool, _ = shard_pool(pool, mesh)
+        logger.info("pool sharded over %d devices: %d rays, %d steps/epoch",
+                    n_data, n_pool, steps)
+    else:
+        pool = jax.device_put(pool)
+        logger.info("pool resident on device: %d rays, %d steps/epoch",
+                    n_pool, steps)
 
     for epoch in range(1 + resume_epoch, s.MAX_EPOCHS):
         epoch_start = time.time()

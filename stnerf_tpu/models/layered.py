@@ -343,9 +343,13 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     sn_b = spec.spacenet_spec(bkgd=True)
     sn_l = spec.spacenet_spec(bkgd=False)
 
-    dir_enc = pe(dirs_p, sn_b.dir_freqs, inc).astype(dt)  # (dir_dim, N)
-    dir_b = jnp.broadcast_to(dir_enc[:, :, None],
-                             (dir_enc.shape[0], N, S)).reshape(-1, M)
+    if spec.use_dir:
+        dir_enc = pe(dirs_p, sn_b.dir_freqs, inc).astype(dt)  # (dir_dim, N)
+        dir_b = jnp.broadcast_to(dir_enc[:, :, None],
+                                 (dir_enc.shape[0], N, S)).reshape(-1, M)
+    else:
+        # matches prepare_kernel_params_planar's (1, W) dummy r1b operand
+        dir_b = jnp.zeros((1, M), dt)
 
     def run(net_params, motion_params, motion_mode, sspec, x, t_ids):
         kp = prepare_kernel_params_planar(net_params, sspec, dt)

@@ -20,10 +20,10 @@ def unpack_rays(rays, spec: LayeredSpec, near_far=None) -> RayInputs:
     """Decode a packed ray tensor into RayInputs.
 
     Layouts handled (K = rays.shape[-1]):
-      * pose_refinement: [o(3), cam, d(3), cam]            K = 8
-        (ref: data/datasets/ray_dataset.py:407-410)
+      * pose_refinement prefix: [o(3), cam, d(3), cam]     8 wide
+        (ref: data/datasets/ray_dataset.py:407-410), id columns follow it
       * base [o, d] (+ cam col) (+ frame col)              K = 6 / 7 / 8
-      * retiming: base (+ cam) + (L+1) per-layer frame ids (ref: :276-281)
+      * retiming: prefix (+ cam) + (L+1) per-layer frame ids (ref: :276-281)
     """
     rays = jnp.asarray(rays, jnp.float32)
     n, k = rays.shape
@@ -33,27 +33,28 @@ def unpack_rays(rays, spec: LayeredSpec, near_far=None) -> RayInputs:
     cam_ids = jnp.zeros((n,), jnp.float32)
     frame_ids = jnp.ones((n, lp1), jnp.float32)
 
-    if spec.pose_refinement and k == 8 and not (spec.use_deform_view or
-                                                spec.use_deform_time or
-                                                spec.use_space_time):
+    if spec.pose_refinement:
+        # always the 8-wide prefix; flag columns (deform-view cam id,
+        # frame ids) come after column 8 (data/raygen._append_id_columns)
         o, d = rays[:, 0:3], rays[:, 4:7]
         cam_ids = rays[:, 3]
+        col = 8
     else:
         o, d = rays[:, 0:3], rays[:, 3:6]
         col = 6
-        if spec.use_deform_view:
-            cam_ids = rays[:, col]
-            col += 1
-        if spec.use_deform_time or spec.use_space_time:
-            rest = k - col
-            if rest == 1:
-                frame_ids = jnp.tile(rays[:, col:col + 1], (1, lp1))
-            elif rest == lp1:
-                frame_ids = rays[:, col:col + lp1]
-            else:
-                raise ValueError(f"undefined ray format: width {k}")
-        elif k != col:
+    if spec.use_deform_view:
+        cam_ids = rays[:, col]
+        col += 1
+    if spec.use_deform_time or spec.use_space_time:
+        rest = k - col
+        if rest == 1:
+            frame_ids = jnp.tile(rays[:, col:col + 1], (1, lp1))
+        elif rest == lp1:
+            frame_ids = rays[:, col:col + lp1]
+        else:
             raise ValueError(f"undefined ray format: width {k}")
+    elif k != col:
+        raise ValueError(f"undefined ray format: width {k}")
 
     if near_far is None:
         near_far = jnp.tile(jnp.array([[0.0, 1.0]], jnp.float32), (n, 1))
@@ -64,9 +65,14 @@ def unpack_rays(rays, spec: LayeredSpec, near_far=None) -> RayInputs:
 
 def pack_rays(inputs: RayInputs, spec: LayeredSpec, retiming: bool = False) -> np.ndarray:
     """Inverse of :func:`unpack_rays` (reference cache layout)."""
-    cols = [np.asarray(inputs.rays_o), np.asarray(inputs.rays_d)]
+    o, d = np.asarray(inputs.rays_o), np.asarray(inputs.rays_d)
+    cam = np.asarray(inputs.cam_ids)[:, None]
+    if spec.pose_refinement:
+        cols = [o, cam, d, cam]  # ref: ray_dataset.py:407-410
+    else:
+        cols = [o, d]
     if spec.use_deform_view:
-        cols.append(np.asarray(inputs.cam_ids)[:, None])
+        cols.append(cam)
     if spec.use_deform_time or spec.use_space_time:
         f = np.asarray(inputs.frame_ids)
         cols.append(f if retiming else f[:, :1])

@@ -3,10 +3,13 @@
 Tests run on CPU with 8 virtual XLA devices so multi-chip sharding logic is
 exercised without TPU hardware. Two environment quirks are handled here:
 
-* the container's ``sitecustomize`` (PYTHONPATH=/root/.axon_site) registers
-  the tunneled-TPU PJRT plugin in *every* interpreter, which breaks both
-  CPU selection and the forced host device count — so the conftest re-execs
-  pytest once with a sanitized environment;
+* the container's ``sitecustomize`` (PYTHONPATH=/root/.axon_site) imports
+  jax and registers the tunneled-TPU PJRT plugin in *every* interpreter —
+  but jax initializes its backends lazily, so forcing
+  ``jax_platforms=cpu`` + the virtual host device count here (before any
+  computation touches a device) is enough; no re-exec. (An earlier re-exec
+  approach broke pytest's fd capture — the child inherits the outer
+  pytest's capture fds and all output vanishes.)
 * XLA kernel compiles are slow on this single-core host, so the persistent
   compilation cache is enabled (reruns hit the cache).
 """
@@ -14,17 +17,13 @@ exercised without TPU hardware. Two environment quirks are handled here:
 import os
 import sys
 
-if not os.environ.get("STNERF_TESTS_REEXEC"):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = ":".join(p for p in env.get("PYTHONPATH", "").split(":")
-                                 if p and ".axon_site" not in p)
-    env["STNERF_TESTS_REEXEC"] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        " --xla_force_host_platform_device_count=8")
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -222,3 +222,28 @@ class TestTrainableSpaceNet:
             scale = max(1e-3, float(jnp.max(jnp.abs(b))))
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-3 * scale)
+
+
+class TestFusedNoDir:
+    def test_eval_fields_fused_traces_without_dir(self):
+        """USE_DIR=False on the fused inference path: prepare_kernel_params
+        emits a (1, W) dummy r1b, so the field eval must feed a matching
+        (1, M) zero dir operand or the kernel's contraction dims mismatch
+        at trace time."""
+        import dataclasses
+
+        from stnerf_tpu.models import init_layered_params
+        from stnerf_tpu.models.layered import _eval_fields_fused
+        from tests.test_layered import SPEC
+
+        spec = dataclasses.replace(SPEC, use_dir=False)
+        params = init_layered_params(jax.random.PRNGKey(0), spec)
+        lp1, N, S = spec.layer_num + 1, 4, 8
+        xyz = jnp.zeros((lp1, 3, N, S), jnp.float32)
+        dirs = jnp.zeros((3, N), jnp.float32)
+        fids = jnp.ones((N, lp1), jnp.float32)
+        out = jax.eval_shape(
+            lambda p: _eval_fields_fused(p, spec, xyz, dirs, fids, fine=False),
+            params)
+        assert out[0].shape == (lp1, 3, N, S)
+        assert out[1].shape == (lp1, N, S)

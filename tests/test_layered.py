@@ -211,3 +211,62 @@ class TestRayPacking:
     def test_unpack_bad_width(self):
         with pytest.raises(ValueError):
             unpack_rays(np.zeros((4, 11), np.float32), SPEC)
+
+
+class TestPoseRefinementRayPacking:
+    """pose_refinement's 8-wide [o, cam, d, cam] prefix must compose with
+    the deform/space-time id columns (the reference supports the combo:
+    ref ray_dataset.py:407-418 appends flag columns after the prefix)."""
+
+    @pytest.mark.parametrize("use_deform_view,use_time", [
+        (False, False), (True, False), (False, True), (True, True)])
+    def test_roundtrip(self, use_deform_view, use_time):
+        import dataclasses
+
+        from stnerf_tpu.models.rays import pack_rays
+
+        spec = dataclasses.replace(SPEC, pose_refinement=True, camera_num=4,
+                                   use_deform_view=use_deform_view,
+                                   use_deform_time=use_time,
+                                   use_space_time=use_time)
+        n = 6
+        rng = np.random.default_rng(0)
+        inp = RayInputs(
+            rays_o=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+            rays_d=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+            frame_ids=jnp.asarray(
+                np.tile(rng.integers(1, 4, size=(n, 1)), (1, 3)).astype(np.float32)),
+            cam_ids=jnp.asarray(rng.integers(0, 4, size=(n,)).astype(np.float32)),
+            near_far=jnp.tile(jnp.array([[0.5, 12.0]], jnp.float32), (n, 1)))
+
+        packed = pack_rays(inp, spec)
+        width = 8 + (1 if use_deform_view else 0) + (1 if use_time else 0)
+        assert packed.shape == (n, width)
+        # the prefix carries the camera id at columns 3 and 7
+        np.testing.assert_array_equal(packed[:, 3], np.asarray(inp.cam_ids))
+        np.testing.assert_array_equal(packed[:, 7], np.asarray(inp.cam_ids))
+
+        out = unpack_rays(packed, spec, np.asarray(inp.near_far))
+        np.testing.assert_allclose(np.asarray(out.rays_o), np.asarray(inp.rays_o))
+        np.testing.assert_allclose(np.asarray(out.rays_d), np.asarray(inp.rays_d))
+        np.testing.assert_array_equal(np.asarray(out.cam_ids), np.asarray(inp.cam_ids))
+        if use_time:
+            np.testing.assert_array_equal(np.asarray(out.frame_ids),
+                                          np.asarray(inp.frame_ids))
+
+    def test_matches_raygen_layout(self):
+        """unpack must decode exactly what data.raygen._append_id_columns
+        writes for pose_refinement + deform_view + time."""
+        import dataclasses
+
+        from stnerf_tpu.data.raygen import _append_id_columns
+
+        spec = dataclasses.replace(SPEC, pose_refinement=True, camera_num=8,
+                                   use_deform_view=True)
+        base = np.arange(24, dtype=np.float32).reshape(4, 6)
+        packed = _append_id_columns(base, cam_id=5, frame_id=2, spec=spec)
+        out = unpack_rays(packed, spec)
+        np.testing.assert_allclose(np.asarray(out.rays_o), base[:, :3])
+        np.testing.assert_allclose(np.asarray(out.rays_d), base[:, 3:6])
+        np.testing.assert_array_equal(np.asarray(out.cam_ids), 5.0)
+        np.testing.assert_array_equal(np.asarray(out.frame_ids), 2.0)

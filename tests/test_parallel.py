@@ -122,3 +122,90 @@ class TestShardedPoseRender:
                                  h, w, chunk=64, tile_cols=16, mesh=mesh)
         np.testing.assert_allclose(shard[0], base[0], atol=1.5 / 255)
         np.testing.assert_allclose(shard[1], base[1], atol=2e-3)
+
+
+class TestShardedEpoch:
+    """The production trainer path: shard_map'd scanned epoch over the data
+    axis (chip-local pool gathers, pmean'd grads, replicated update)."""
+
+    def test_shard_pool_pads_and_shards(self):
+        from stnerf_tpu.engine import shard_pool
+        from stnerf_tpu.engine.trainer import TrainBatch as TB
+
+        mesh = make_mesh()
+        n = 130  # not a multiple of 8
+        pool = TB(make_rays(n), jnp.full((n, 3), 0.4), jnp.zeros((n,), jnp.int32))
+        sharded, n_pad = shard_pool(pool, mesh)
+        assert n_pad == 136
+        assert sharded.rgb.shape[0] == 136
+        assert str(DATA_AXIS) in str(sharded.rgb.sharding.spec)
+        # padding replicates the last row
+        np.testing.assert_array_equal(np.asarray(sharded.rgb[-1]),
+                                      np.asarray(pool.rgb[-1]))
+
+    def test_epoch_matches_host_reconstruction(self):
+        """One sharded epoch step == per-shard local gathers + mean-of-shard
+        grads + one replicated optimizer update, reconstructed on host."""
+        import dataclasses
+
+        import optax
+
+        from stnerf_tpu.engine import make_pool, shard_pool
+        from stnerf_tpu.engine.trainer import (TrainBatch as TB, _losses,
+                                               make_train_epoch)
+        from stnerf_tpu.models import EditState
+
+        D, n_pool, batch = 8, 128, 32
+        mesh = make_mesh()
+        optimizer = make_optimizer(_cfg())
+        pool = TB(make_rays(n_pool), jnp.full((n_pool, 3), 0.4),
+                  jnp.zeros((n_pool,), jnp.int32))
+        params = jax.device_get(init_layered_params(jax.random.PRNGKey(0), SPEC))
+        scene = make_scene()
+        ekey = jax.random.PRNGKey(7)
+        mask_on = jnp.asarray(1.0)
+
+        spool, _ = shard_pool(pool, mesh)
+        epoch_fn = make_train_epoch(SPEC, optimizer, remove_outliers=True,
+                                    mesh=mesh)
+        dev_params = replicate(mesh, jax.tree.map(jnp.asarray, params))
+        p2, _, metrics = epoch_fn(dev_params, optimizer.init(dev_params),
+                                  replicate(mesh, scene), spool, ekey, mask_on,
+                                  batch_size=batch, steps=1, only_coarse=False)
+        p2 = jax.device_get(p2)
+
+        # host reconstruction of the shard_map body (steps=1)
+        spec2 = dataclasses.replace(SPEC, use_pallas=False,
+                                    nosort_composite=True)
+        edits = EditState.identity(SPEC.layer_num)
+        n_local, b_local = n_pool // D, batch // D
+        key, pkey = jax.random.split(ekey)
+        key, sub = jax.random.split(key)
+        grads_sum = None
+        losses = []
+        for d in range(D):
+            idx = jax.random.permutation(jax.random.fold_in(pkey, d),
+                                         n_local)[:b_local]
+            rows = np.asarray(idx) + d * n_local
+            batch_d = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[rows]),
+                                   pool)
+            sub_d = jax.random.fold_in(sub, d)
+
+            def loss_fn(p, batch_d=batch_d, sub_d=sub_d):
+                return _losses(spec2, edits, True, p, scene, batch_d, sub_d,
+                               mask_on, False, mask_scale=float(D))
+
+            (l, _), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
+            losses.append(float(l))
+            grads_sum = g if grads_sum is None else jax.tree.map(jnp.add,
+                                                                 grads_sum, g)
+        grads = jax.tree.map(lambda x: x / D, grads_sum)
+        opt_state = optimizer.init(params)
+        updates, _ = optimizer.update(grads, opt_state, params)
+        expected = jax.device_get(optax.apply_updates(params, updates))
+
+        np.testing.assert_allclose(float(metrics.loss[0]), np.mean(losses),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)

@@ -35,7 +35,7 @@ def main():
 
     from stnerf_tpu.config import get_cfg
     from stnerf_tpu.data import make_train_data, ViewScene
-    from stnerf_tpu.engine import (make_optimizer, make_train_step, do_train,
+    from stnerf_tpu.engine import (make_optimizer, do_train,
                                    latest_checkpoint, load_checkpoint)
     from stnerf_tpu.models import init_layered_params
     from stnerf_tpu.models.io_torch import load_reference_checkpoint
@@ -71,14 +71,21 @@ def main():
     else:
         params = init_layered_params(jax.random.PRNGKey(args.seed), spec)
 
+    # Epoch training is data-parallel over rays with replicated params (the
+    # fields are ~1.2M params; layer-parallel sharding is a render-path
+    # option). TPU.MESH_DATA caps the data axis (-1 = all devices).
     mp = args.model_parallel or cfg.TPU.MESH_MODEL
-    mesh = make_mesh(model_parallel=mp)
+    if mp != 1:
+        logger.warning("epoch training replicates params; ignoring "
+                       "model_parallel=%d (render-path option only)", mp)
+    devices = jax.devices()
+    if cfg.TPU.MESH_DATA > 0:
+        devices = devices[:cfg.TPU.MESH_DATA]
+    mesh = make_mesh(devices)
     params = shard_params(mesh, params)
     scene = replicate(mesh, scene)
 
     optimizer = make_optimizer(cfg)
-    step_fn = make_train_step(spec, optimizer,
-                              remove_outliers=cfg.MODEL.REMOVE_OUTLIERS)
 
     swriter = None
     if cfg.OUTPUT_DIR:
@@ -96,7 +103,7 @@ def main():
     except Exception as e:
         logger.warning("validation disabled: %s", e)
 
-    do_train(cfg, spec, params, scene, pool, step_fn, optimizer,
+    do_train(cfg, spec, params, scene, pool, optimizer, mesh=mesh,
              val_fn=val_fn, resume_epoch=resume_epoch,
              psnr_thres=args.psnr_thres, seed=args.seed, logger=logger,
              swriter=swriter)
