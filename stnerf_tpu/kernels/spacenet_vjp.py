@@ -4,11 +4,11 @@ The backward kernel recomputes the forward activations per sample tile in
 VMEM (flash-attention style — nothing is saved to HBM between passes) and
 backpropagates through the whole trunk/head chain, accumulating weight and
 bias gradients across grid steps into revisited output blocks (the standard
-Mosaic accumulator pattern). The position-encoding
-gradient IS produced (it carries the MotionNet training signal through the
-displaced sample positions); direction/time encodings receive zeros, valid
-whenever rays carry no gradient (coarse/fine depths are stop-gradient-ed as
-in the reference and POSE_REFINEMENT training uses the XLA path).
+Mosaic accumulator pattern). The position-encoding gradient carries the
+MotionNet training signal through the displaced sample positions, and the
+direction-encoding gradient carries the POSE_REFINEMENT signal back to the
+ray directions; the time encoding receives zeros (frame ids are integral
+inputs, never differentiated).
 
 Exposed as :func:`spacenet_planar_trainable` — a ``jax.custom_vjp`` drop-in
 for models.spacenet.apply_spacenet_planar on pre-encoded planar inputs.
@@ -79,17 +79,14 @@ def _where_pos(x, dy):
     cmpf on packed bf16 vectors."""
     return jnp.where(x.astype(jnp.float32) > 0.0, dy, 0.0)
 
-def _bwd_kernel(cfg, pos_ref, dir_ref, time_ref, drgb_ref, dsig_ref,
-                *op_and_grad_refs):
+def _bwd_math(cfg, p, d_enc, t_enc, ops, dy_rgb, d_sig):
+    """SpaceNet backward on one sample tile: recompute forward activations,
+    backprop heads + trunk. Returns (weight grads list, d_pos_enc (f32),
+    d_dir_enc (f32)). Shared by the pre-encoded kernel below and the fully
+    fused field kernel (field_vjp)."""
     (use_time, n_rgb, dtype) = cfg
     n_ops = _N_BASE_OPS + 2 * (n_rgb - 1)
-    ops = [r[...] for r in op_and_grad_refs[:n_ops]]
-    *grefs, dpos_ref = op_and_grad_refs[n_ops:]
     relu = jax.nn.relu
-
-    p = pos_ref[...].astype(dtype)
-    d_enc = dir_ref[...].astype(dtype)
-    t_enc = time_ref[...].astype(dtype) if use_time else None
     a, _, hs = _fwd_chain(dtype, p, d_enc, t_enc, ops, n_rgb)
 
     (w1, b1, w2, b2, w3, b3, w4, b4,
@@ -99,7 +96,7 @@ def _bwd_kernel(cfg, pos_ref, dir_ref, time_ref, drgb_ref, dsig_ref,
     grads = [None] * n_ops
 
     # ---- rgb head backward ----
-    dy = drgb_ref[...].astype(dtype)              # (3, t) cotangent
+    dy = dy_rgb.astype(dtype)                     # (3, t) cotangent
     for i in reversed(range(n_rgb - 1)):
         w_ = rgb_rest[2 * i]
         x_in = hs[i]
@@ -113,6 +110,9 @@ def _bwd_kernel(cfg, pos_ref, dir_ref, time_ref, drgb_ref, dsig_ref,
     rx = relu(a[6])
     grads[17] = _mm_grad_w(rx, dy)                        # r1a
     grads[18] = _mm_grad_w(relu(d_enc), dy)               # r1b
+    # gradient wrt the direction encoding (through the head's leading ReLU):
+    # carries the POSE_REFINEMENT training signal back to the ray directions
+    d_denc = _where_pos(d_enc, _mm_dx(r1b, dy)).astype(jnp.float32)
     grads[19] = (_mm_grad_w(relu(t_enc), dy) if use_time
                  else jnp.zeros_like(r1c, dtype=jnp.float32))
     d_a6 = _mm_dx(r1a, dy).astype(dtype)
@@ -120,7 +120,7 @@ def _bwd_kernel(cfg, pos_ref, dir_ref, time_ref, drgb_ref, dsig_ref,
     # relu is identity there, but the mask also kills exact zeros (dead units)
 
     # ---- density head backward ----
-    ds = dsig_ref[...].astype(dtype)              # (1, t)
+    ds = d_sig.astype(dtype)                      # (1, t)
     grads[15] = _mm_grad_w(a[6], ds)              # dw
     grads[16] = jnp.sum(ds, axis=1, keepdims=True)
     d_a6 = (d_a6 + _mm_dx(dw, ds)).astype(dtype)
@@ -156,9 +156,13 @@ def _bwd_kernel(cfg, pos_ref, dir_ref, time_ref, drgb_ref, dsig_ref,
     grads[1] = jnp.sum(dy, axis=1, keepdims=True)
 
     # gradient wrt the position encoding: stage1 first layer + stage2 skip
-    dpos_ref[...] = (_mm_dx(w1, dy) + _mm_dx(s2b, dy4)).astype(jnp.float32)
+    d_p = (_mm_dx(w1, dy) + _mm_dx(s2b, dy4)).astype(jnp.float32)
+    return grads, d_p, d_denc
 
-    # ---- accumulate into revisited output blocks ----
+
+def accumulate_grads(grefs, grads):
+    """Write weight grads into revisited output blocks: initialize on the
+    first grid step, accumulate after (the standard Mosaic pattern)."""
     first = pl.program_id(0) == 0
     for gref, g in zip(grefs, grads):
         gv = g.astype(jnp.float32)
@@ -172,6 +176,23 @@ def _bwd_kernel(cfg, pos_ref, dir_ref, time_ref, drgb_ref, dsig_ref,
         @pl.when(jnp.logical_not(first))
         def _(gref=gref, gv=gv):
             gref[...] = gref[...] + gv
+
+
+def _bwd_kernel(cfg, pos_ref, dir_ref, time_ref, drgb_ref, dsig_ref,
+                *op_and_grad_refs):
+    (use_time, n_rgb, dtype) = cfg
+    n_ops = _N_BASE_OPS + 2 * (n_rgb - 1)
+    ops = [r[...] for r in op_and_grad_refs[:n_ops]]
+    *grefs, dpos_ref, ddir_ref = op_and_grad_refs[n_ops:]
+
+    p = pos_ref[...].astype(dtype)
+    d_enc = dir_ref[...].astype(dtype)
+    t_enc = time_ref[...].astype(dtype) if use_time else None
+    grads, d_p, d_denc = _bwd_math(cfg, p, d_enc, t_enc, ops,
+                                   drgb_ref[...], dsig_ref[...])
+    dpos_ref[...] = d_p
+    ddir_ref[...] = d_denc
+    accumulate_grads(grefs, grads)
 
 
 def _fwd_kernel(cfg, pos_ref, dir_ref, time_ref, *op_refs_and_out):
@@ -239,7 +260,9 @@ def _call_bwd(kparams, spec, pos_enc, dir_enc, time_enc, d_rgb, d_sigma,
                               memory_space=pltpu.VMEM) for op in kparams]
     out_shapes.append(jax.ShapeDtypeStruct((pos_p.shape[0], mp), jnp.float32))
     out_specs.append(tile_spec(pos_p.shape[0]))
-    *grads, dpos = pl.pallas_call(
+    out_shapes.append(jax.ShapeDtypeStruct((dir_p.shape[0], mp), jnp.float32))
+    out_specs.append(tile_spec(dir_p.shape[0]))
+    *grads, dpos, ddir = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid=(mp // tile,),
         in_specs=[tile_spec(pos_p.shape[0]), tile_spec(dir_p.shape[0]),
@@ -249,7 +272,7 @@ def _call_bwd(kparams, spec, pos_enc, dir_enc, time_enc, d_rgb, d_sigma,
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )(pos_p, dir_p, time_p, drgb_p, dsig_p, *kparams)
-    return grads, dpos[:, :m]
+    return grads, dpos[:, :m], ddir[:, :m]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
@@ -259,8 +282,8 @@ def spacenet_planar_trainable(params, spec, pos_enc, dir_enc, time_enc,
     """Differentiable fused SpaceNet on pre-encoded planar inputs.
 
     params: the SpaceNet pytree (models.spacenet.init_spacenet); gradients
-    are returned for params only (encodings receive zeros — valid whenever
-    rays carry no gradient, as in the shipped training configs).
+    are returned for params, the position encoding and the direction
+    encoding (the time encoding receives zeros — frame ids are integral).
     """
     kp = prepare_kernel_params_planar(params, spec,
                                       jnp.bfloat16 if compute_dtype == "bfloat16"
@@ -312,12 +335,12 @@ def _vjp_bwd(spec, compute_dtype, interpret, tile, residuals, cotangents):
     kp = prepare_kernel_params_planar(params, spec,
                                       jnp.bfloat16 if compute_dtype == "bfloat16"
                                       else jnp.float32)
-    flat, d_pos = _call_bwd(kp, spec, pos_enc, dir_enc, time_enc, d_rgb,
-                            d_sigma, compute_dtype, interpret, tile)
+    flat, d_pos, d_dir = _call_bwd(kp, spec, pos_enc, dir_enc, time_enc, d_rgb,
+                                   d_sigma, compute_dtype, interpret, tile)
     d_params = _unflatten_grads(flat, params, spec)
-    d_dir = jnp.zeros_like(dir_enc)
     d_time = None if time_enc is None else jnp.zeros_like(time_enc)
-    return (d_params, d_pos.astype(pos_enc.dtype), d_dir, d_time)
+    return (d_params, d_pos.astype(pos_enc.dtype),
+            d_dir.astype(dir_enc.dtype), d_time)
 
 
 spacenet_planar_trainable.defvjp(_vjp_fwd, _vjp_bwd)

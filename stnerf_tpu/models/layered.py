@@ -304,10 +304,17 @@ def _inverse_edit_points(xyz: jnp.ndarray, edits: EditState) -> jnp.ndarray:
 
 
 def _use_trainable_kernel(spec: LayeredSpec) -> bool:
-    """Hand-differentiated fused SpaceNet path (kernels.spacenet_vjp); pose
-    refinement needs direction-encoding gradients the kernel does not
-    produce, so it falls back to XLA."""
-    return (spec.trainable_kernel and not spec.pose_refinement
+    """Hand-differentiated fused SpaceNet path (kernels.spacenet_vjp). The
+    kernel emits position- AND direction-encoding gradients, so MotionNet
+    and POSE_REFINEMENT both train on the fast path."""
+    return spec.trainable_kernel and jax.default_backend() == "tpu"
+
+
+def _use_trainable_fused(spec: LayeredSpec) -> bool:
+    """Fully-fused trainable path (kernels.field_vjp): MotionNet +
+    encodings + SpaceNet fwd AND bwd in Pallas. The (rare) view-deform net
+    falls back to the staged trainable path, where _deform runs in XLA."""
+    return (spec.trainable_kernel and not spec.use_deform_view
             and jax.default_backend() == "tpu")
 
 
@@ -396,13 +403,83 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     return jnp.stack(rgbs), jnp.stack(sigs)
 
 
+def _eval_fields_trainable_fused(params: dict, spec: LayeredSpec,
+                                 xyz: jnp.ndarray, dirs_p: jnp.ndarray,
+                                 frame_ids: jnp.ndarray, fine: bool,
+                                 active=None):
+    """Fully-fused training-path field evaluation (kernels.field_vjp):
+    per-layer MotionNet, all positional encodings and the SpaceNet run
+    inside one Pallas kernel per field — forward and backward. xyz here is
+    *pre-deformation* canonical positions (L+1, 3, N, S). Gradients flow to
+    the field weights, the motion weights, xyz (POSE_REFINEMENT origin/dir
+    signal) and the direction encoding."""
+    from ..kernels.field_vjp import field_planar_trainable
+    from ..ops.encoding import positional_encoding_planar as pe
+
+    lp1, _, N, S = xyz.shape
+    M = N * S
+    inc = spec.include_input
+    sn_b = spec.spacenet_spec(bkgd=True)
+    sn_l = spec.spacenet_spec(bkgd=False)
+
+    if spec.use_dir:
+        dir_enc = pe(dirs_p, sn_b.dir_freqs, inc, recursive=True)
+        dir_b = jnp.broadcast_to(dir_enc[:, :, None],
+                                 (dir_enc.shape[0], N, S)).reshape(-1, M)
+    else:
+        dir_b = jnp.zeros((1, M), jnp.float32)
+
+    def run(net_params, motion_params, motion_mode, sspec, x, t_ids):
+        ids = jnp.broadcast_to(t_ids[:, None], (N, S)).reshape(1, M)
+        rgb, sig = field_planar_trainable(net_params, motion_params,
+                                          x.reshape(3, M), ids, dir_b,
+                                          sspec, motion_mode,
+                                          spec.compute_dtype)
+        return rgb.reshape(3, N, S), sig.reshape(N, S)
+
+    bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
+    bkgd_motion = "direct" if spec.bkgd_use_deform_time else None
+    rgb0, sig0 = run(params[bkgd_key], params.get("bkgd_motion"), bkgd_motion,
+                     sn_b, xyz[0], frame_ids[:, 0])
+    rgbs, sigs = [rgb0], [sig0]
+    if spec.layer_num:
+        if fine and not spec.same_spacenet:
+            layer_params = params["layers_fine"]
+        else:
+            layer_params = params["layers_coarse"]
+        layer_motion = "lerp" if spec.use_deform_time else None
+        for i in range(spec.layer_num):
+            p_i = jax.tree.map(lambda x: x[i], layer_params)
+            m_i = (jax.tree.map(lambda x: x[i], params["motion"])
+                   if layer_motion else None)
+
+            def eval_layer(operands, p_i=p_i, m_i=m_i):
+                x, t_ids = operands
+                return run(p_i, m_i, layer_motion, sn_l, x, t_ids)
+
+            def skip_layer(operands):
+                return (jnp.zeros((3, N, S), jnp.float32),
+                        jnp.zeros((N, S), jnp.float32))
+
+            if active is None:
+                r, s_ = eval_layer((xyz[i + 1], frame_ids[:, i + 1]))
+            else:
+                r, s_ = jax.lax.cond(active[i + 1], eval_layer, skip_layer,
+                                     (xyz[i + 1], frame_ids[:, i + 1]))
+            rgbs.append(r)
+            sigs.append(s_)
+    return jnp.stack(rgbs), jnp.stack(sigs)
+
+
 def _eval_fields_trainable(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
                            dirs_p: jnp.ndarray, frame_ids: jnp.ndarray,
                            fine: bool, active=None):
     """Training-path field evaluation through the hand-differentiated fused
     SpaceNet kernel (kernels.spacenet_vjp): encodings in XLA (differentiable,
     so MotionNet gradients flow through the displaced positions), the MLP
-    forward AND backward as Pallas kernels."""
+    forward AND backward as Pallas kernels. Staged fallback for flag combos
+    the fully-fused kernel excludes (view-deform); xyz is post-deformation
+    here."""
     from ..kernels.spacenet_vjp import spacenet_planar_trainable
     from ..ops.encoding import positional_encoding_planar as pe
 
@@ -471,6 +548,9 @@ def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     if _use_fused_kernel(spec):
         return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine,
                                   active=active)
+    if _use_trainable_fused(spec):
+        return _eval_fields_trainable_fused(params, spec, xyz, dirs_p,
+                                            frame_ids, fine, active=active)
     if _use_trainable_kernel(spec):
         return _eval_fields_trainable(params, spec, xyz, dirs_p, frame_ids,
                                       fine, active=active)
@@ -639,7 +719,9 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     t_c = jax.lax.stop_gradient(t_c)
     xyz = o_p[None, :, :, None] + t_c[:, None, :, :] * d_p[None, :, :, None]
     xyz = _inverse_edit_points(xyz, edits)                    # (L+1, 3, N, S1)
-    if not _use_fused_kernel(spec):  # fused path deforms inside the kernel
+    # the fused inference AND fused trainable paths deform inside the kernel
+    in_kernel_deform = _use_fused_kernel(spec) or _use_trainable_fused(spec)
+    if not in_kernel_deform:
         xyz = _deform(params, spec, xyz, inputs.frame_ids, inputs.cam_ids)
     # chunk-level skip predicate: any ray hits the (edited) bbox and the
     # layer is visible — hidden or fully-missed fields cost nothing
@@ -673,7 +755,7 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
 
     xyz_f = o_p[None, :, :, None] + t_f[:, None, :, :] * d_p[None, :, :, None]
     xyz_f = _inverse_edit_points(xyz_f, edits)
-    if not _use_fused_kernel(spec):
+    if not in_kernel_deform:
         xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids, inputs.cam_ids)
     rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids,
                                 fine=True, active=active)

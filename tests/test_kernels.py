@@ -199,21 +199,25 @@ class TestTrainableSpaceNet:
         c_rgb = jnp.array(rng.normal(size=(3, m)).astype(np.float32))
         c_sig = jnp.array(rng.normal(size=(m,)).astype(np.float32))
 
-        def loss_ref(p, pe_):
-            rgb, sig = self._ref_preencoded(p, spec, pe_, dir_enc, time_enc)
+        def loss_ref(p, pe_, de_):
+            rgb, sig = self._ref_preencoded(p, spec, pe_, de_, time_enc)
             return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
 
-        def loss_k(p, pe_):
-            rgb, sig = spacenet_planar_trainable(p, spec, pe_, dir_enc,
+        def loss_k(p, pe_, de_):
+            rgb, sig = spacenet_planar_trainable(p, spec, pe_, de_,
                                                  time_enc, "float32", True, 128)
             return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
 
-        v_ref, (gp_ref, gx_ref) = jax.value_and_grad(loss_ref, (0, 1))(
-            params, pos_enc)
-        v_k, (gp_k, gx_k) = jax.value_and_grad(loss_k, (0, 1))(params, pos_enc)
+        v_ref, (gp_ref, gx_ref, gd_ref) = jax.value_and_grad(
+            loss_ref, (0, 1, 2))(params, pos_enc, dir_enc)
+        v_k, (gp_k, gx_k, gd_k) = jax.value_and_grad(
+            loss_k, (0, 1, 2))(params, pos_enc, dir_enc)
 
         np.testing.assert_allclose(float(v_k), float(v_ref), rtol=2e-4)
         np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_ref),
+                                   rtol=2e-3, atol=2e-4)
+        # direction-encoding gradient (the POSE_REFINEMENT training signal)
+        np.testing.assert_allclose(np.asarray(gd_k), np.asarray(gd_ref),
                                    rtol=2e-3, atol=2e-4)
         flat_r, tdef = jax.tree.flatten(gp_ref)
         flat_k = jax.tree.leaves(gp_k)
@@ -222,6 +226,134 @@ class TestTrainableSpaceNet:
             scale = max(1e-3, float(jnp.max(jnp.abs(b))))
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-3 * scale)
+
+
+class TestFieldVjp:
+    """Fully-fused trainable field (kernels.field_vjp) vs jax.grad of the
+    staged XLA composition motion -> encode -> SpaceNet (interpret mode)."""
+
+    @pytest.mark.parametrize("mode,use_time", [
+        (None, False), ("direct", False), ("lerp", True)])
+    def test_value_and_grads_match_xla(self, rng, mode, use_time):
+        from stnerf_tpu.kernels.field_vjp import field_planar_trainable
+        from stnerf_tpu.models.motionnet import (MotionNetSpec,
+                                                 apply_motionnet_planar,
+                                                 init_motionnet)
+        from stnerf_tpu.ops.encoding import positional_encoding_planar as pep
+
+        sspec = SpaceNetSpec(use_dir=True, use_time=use_time, deep_rgb=False,
+                             backbone_dim=32, head_dim=16)
+        sparams = init_spacenet(jax.random.PRNGKey(3), sspec)
+        mspec = MotionNetSpec(width=16, input_time=(mode == "lerp"))
+        mparams = init_motionnet(jax.random.PRNGKey(4), mspec) if mode else None
+
+        m = 200  # not a tile multiple: exercises zero-padded columns
+        xyz = jnp.array(rng.normal(size=(3, m)).astype(np.float32))
+        frac = 0.3 if mode == "lerp" else 0.0  # fractional retiming ids
+        ids = jnp.array((rng.integers(1, 4, size=(1, m)) + frac)
+                        .astype(np.float32))
+        dir_enc = pep(jnp.array(rng.normal(size=(3, m)).astype(np.float32)),
+                      sspec.dir_freqs, True)
+        c_rgb = jnp.array(rng.normal(size=(3, m)).astype(np.float32))
+        c_sig = jnp.array(rng.normal(size=(m,)).astype(np.float32))
+
+        def loss_ref(sp, mp, x, de):
+            xx = x
+            if mode:
+                flow = apply_motionnet_planar(mp, mspec, x, ids[0], None,
+                                              recursive_enc=True)
+                xx = x + flow
+            pos = pep(xx, sspec.pos_freqs, True, recursive=True)
+            te = (pep(ids, sspec.time_freqs, True, recursive=True)
+                  if use_time else None)
+            rgb, sig = TestTrainableSpaceNet._ref_preencoded(
+                sp, sspec, pos, de, te)
+            return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
+
+        def loss_k(sp, mp, x, de):
+            rgb, sig = field_planar_trainable(sp, mp, x, ids, de, sspec,
+                                              mode, "float32", True, 128)
+            return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
+
+        argnums = (0, 1, 2, 3) if mode else (0, 2, 3)
+        v_ref, g_ref = jax.value_and_grad(loss_ref, argnums)(
+            sparams, mparams, xyz, dir_enc)
+        v_k, g_k = jax.value_and_grad(loss_k, argnums)(
+            sparams, mparams, xyz, dir_enc)
+
+        np.testing.assert_allclose(float(v_k), float(v_ref), rtol=2e-4)
+        flat_r, tdef = jax.tree.flatten(g_ref)
+        flat_k = jax.tree.leaves(g_k)
+        assert tdef == jax.tree.structure(g_k)
+        for a, b in zip(flat_k, flat_r):
+            scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3 * scale)
+
+
+class TestPoseRefinementTrainableKernel:
+    def test_pose_grads_match_xla_path(self, monkeypatch):
+        """POSE_REFINEMENT trains on the fused trainable kernel: the kernel's
+        direction-encoding gradient must drive the same cam_pose gradients as
+        the pure-XLA path (kernel in interpret mode on CPU)."""
+        from stnerf_tpu.kernels import spacenet_vjp
+        from stnerf_tpu.models import (EditState, LayeredSpec, RayInputs,
+                                       SceneBoxes, init_layered_params,
+                                       render_rays)
+        from stnerf_tpu.models import layered as layered_mod
+
+        spec = LayeredSpec(layer_num=1, coarse_samples=6, fine_samples=3,
+                           sample_method="BBOX", use_space_time=True,
+                           use_deform_time=True, pose_refinement=True,
+                           camera_num=2, backbone_dim=16, head_dim=8,
+                           motion_dim=8, compute_dtype="float32")
+        params = init_layered_params(jax.random.PRNGKey(0), spec)
+        # non-identity camera correction so dir grads are exercised off-axis
+        params["cam_pose"]["rvec"] = params["cam_pose"]["rvec"] + jnp.array(
+            [[0.0, 0.02, -0.01, 0.015], [0.0, -0.01, 0.02, 0.0]])
+        scene = SceneBoxes(
+            bkgd_box=jnp.array([[-6.0, -6.0, -6.0], [6.0, 6.0, 6.0]]),
+            boxes=jnp.tile(jnp.array([[[-1.0, -1, 1], [1, 1, 3]]])[None],
+                           (3, 1, 1, 1)),
+            bkgd_near_far=jnp.array([0.5, 12.0]))
+        n = 8
+        d = np.stack([np.linspace(-0.3, 0.3, n), np.zeros(n), np.ones(n)],
+                     axis=1).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        inputs = RayInputs(
+            jnp.tile(jnp.array([[0.0, 0.0, -5.0]], jnp.float32), (n, 1)),
+            jnp.asarray(d), jnp.ones((n, 2), jnp.float32),
+            jnp.asarray((np.arange(n) % 2).astype(np.float32)),
+            jnp.tile(jnp.array([[0.5, 12.0]], jnp.float32), (n, 1)))
+        key = jax.random.PRNGKey(3)
+
+        def loss(p):
+            out = render_rays(p, spec, scene, inputs, EditState.identity(1),
+                              key=key)
+            return jnp.sum(out.fine.color ** 2) + jnp.sum(out.coarse.color ** 2)
+
+        g_xla = jax.grad(loss)(params)
+
+        orig = spacenet_vjp.spacenet_planar_trainable
+        monkeypatch.setattr(
+            spacenet_vjp, "spacenet_planar_trainable",
+            lambda p, s, pe_, de_, te, cd="bfloat16", interpret=False,
+                   tile=1024: orig(p, s, pe_, de_, te, cd, True, 128))
+        monkeypatch.setattr(layered_mod, "_use_trainable_kernel",
+                            lambda s: True)
+        g_k = jax.grad(loss)(params)
+
+        for (path_r, a), (path_k, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_xla),
+                jax.tree_util.tree_leaves_with_path(g_k)):
+            assert path_r == path_k
+            scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=3e-3, atol=3e-3 * scale,
+                err_msg=f"grad mismatch at {path_r}")
+        # the pose parameters specifically must receive nonzero gradient
+        assert float(jnp.max(jnp.abs(g_k["cam_pose"]["rvec"]))) > 0
+        assert float(jnp.max(jnp.abs(g_k["cam_pose"]["tvec"]))) > 0
 
 
 class TestFusedNoDir:

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernel", choices=["on", "off"], default="on")
+    ap.add_argument("--pose", choices=["on", "off"], default="off",
+                    help="POSE_REFINEMENT: learnable per-camera pose "
+                         "correction (taekwondo config enables it)")
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--batch", type=int, default=2000)
     ap.add_argument("--coarse", type=int, default=48)
@@ -42,7 +45,7 @@ def main():
     cfg = get_cfg()
     cfg.DATASETS.LAYER_NUM = 2
     cfg.MODEL.SAMPLE_METHOD = "BBOX"
-    cfg.MODEL.POSE_REFINEMENT = False
+    cfg.MODEL.POSE_REFINEMENT = args.pose == "on"
     cfg.MODEL.USE_SPACE_TIME = True
     cfg.MODEL.USE_DEFORM_TIME = True
     cfg.MODEL.DEEP_RGB = False
@@ -50,7 +53,7 @@ def main():
     cfg.MODEL.FINE_RAY_SAMPLING = args.fine
     cfg.MODEL.REMOVE_OUTLIERS = True
     cfg.TPU.TRAINABLE_KERNEL = args.kernel == "on"
-    spec = LayeredSpec.from_cfg(cfg)
+    spec = LayeredSpec.from_cfg(cfg, camera_num=16 if args.pose == "on" else 0)
 
     params = init_layered_params(jax.random.PRNGKey(0), spec)
     scene = SceneBoxes(
@@ -69,7 +72,7 @@ def main():
             rays_o=jnp.asarray(np.tile(np.array([[0, 0, -5.0]], np.float32), (n, 1))),
             rays_d=jnp.asarray(d),
             frame_ids=jnp.asarray(rng.integers(0, 3, size=(n, 3)).astype(np.float32)),
-            cam_ids=jnp.zeros((n,), jnp.float32),
+            cam_ids=jnp.asarray(rng.integers(0, 16, size=(n,)).astype(np.float32)),
             near_far=jnp.tile(jnp.array([[0.5, 16.0]], jnp.float32), (n, 1))),
         rgb=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
         labels=jnp.asarray(rng.integers(0, 3, size=(n,)).astype(np.int32)))
@@ -104,8 +107,8 @@ def main():
               flush=True)
 
     best = args.steps * args.batch / min(times)
-    print(f"RESULT kernel={args.kernel} coarse={args.coarse} fine={args.fine} "
-          f"batch={args.batch}: {best:.0f} rays/s", flush=True)
+    print(f"RESULT kernel={args.kernel} pose={args.pose} coarse={args.coarse} "
+          f"fine={args.fine} batch={args.batch}: {best:.0f} rays/s", flush=True)
 
 
 if __name__ == "__main__":
