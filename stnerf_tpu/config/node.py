@@ -48,9 +48,19 @@ class CfgNode(dict):
             raise KeyError(f"CfgNode is frozen; cannot set {name!r}")
         super().__setitem__(name, value)
 
+    # -- pickling ---------------------------------------------------------
+    # dict subclass pickling restores items through __setitem__ BEFORE
+    # instance state, so the frozen flag must not be assumed present
+    # (workers unpickle configs in multiprocessing pregeneration).
+    def __reduce__(self):
+        return (_unpickle_cfg, (dict(self), self.is_frozen()))
+
     # -- freezing -------------------------------------------------------
     def is_frozen(self) -> bool:
-        return object.__getattribute__(self, _FROZEN)
+        try:
+            return object.__getattribute__(self, _FROZEN)
+        except AttributeError:
+            return False
 
     def freeze(self) -> "CfgNode":
         object.__setattr__(self, _FROZEN, True)
@@ -104,6 +114,13 @@ class CfgNode(dict):
 
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
         return f"CfgNode({self.dump()})"
+
+
+def _unpickle_cfg(items: dict, frozen: bool) -> "CfgNode":
+    node = CfgNode(items)
+    if frozen:
+        node.freeze()
+    return node
 
 
 def _coerce(old: Any, new: Any) -> Any:

@@ -7,6 +7,8 @@ torch DataLoader machinery — batches are sliced from flat NumPy pools.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..models import RayInputs, SceneBoxes
@@ -131,13 +133,17 @@ class ViewScene:
         return self.get_fixed_image(view, frame) + (view, frame)
 
 
-def make_train_data(cfg, spec, rng=None):
+def make_train_data(cfg, spec, rng=None, workers: int | None = None):
     """-> (pool dict, SceneBoxes). The one-call training data entry point
-    (ref: make_ray_data_loader, data/build.py:13-27)."""
+    (ref: make_ray_data_loader, data/build.py:13-27). ``workers`` defaults
+    to cfg.DATALOADER.NUM_WORKERS capped at the host CPU count."""
     import jax.numpy as jnp
 
     rng = rng or np.random.default_rng(0)
-    pool, boxes = build_ray_pool(cfg, spec, rng)
+    if workers is None:
+        workers = max(1, min(cfg.DATALOADER.NUM_WORKERS,
+                             os.cpu_count() or 1))
+    pool, boxes = build_ray_pool(cfg, spec, rng, workers=workers)
     bkgd = FrameLayerScene(cfg, _test_transform(cfg), 1 + cfg.DATASETS.FRAME_OFFSET, 0)
     scene = SceneBoxes(bkgd_box=jnp.asarray(bkgd.bbox),
                        boxes=jnp.asarray(boxes),

@@ -13,6 +13,7 @@ zero per-step host work.
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 
 import numpy as np
@@ -65,15 +66,20 @@ def _append_id_columns(rays, cam_id, frame_id, spec):
     return np.concatenate(cols, 1) if len(cols) > 1 else rays
 
 
+def _cache_path(cfg, frame_id: int, layer_id: int) -> str:
+    d = cfg.DATASETS
+    return os.path.join(d.TRAIN, d.TMP_RAYS, f"frame{frame_id}",
+                        f"layer{layer_id}", "rays.npz")
+
+
 def generate_frame_layer_rays(cfg, spec, transform, frame_id: int,
                               layer_id: int, use_label_map: bool,
                               sample_rate: float,
                               rng: np.random.Generator) -> dict:
     """Build (or load from cache) the ray set of one (frame, layer)."""
     d = cfg.DATASETS
-    cache_dir = os.path.join(d.TRAIN, d.TMP_RAYS, f"frame{frame_id}",
-                             f"layer{layer_id}")
-    cache = os.path.join(cache_dir, "rays.npz")
+    cache = _cache_path(cfg, frame_id, layer_id)
+    cache_dir = os.path.dirname(cache)
     empty = {"rays": np.zeros((0, 6), np.float32),
              "rgbs": np.zeros((0, 3), np.float32),
              "labels": np.zeros((0, 1), np.float32),
@@ -112,18 +118,86 @@ def generate_frame_layer_rays(cfg, spec, transform, frame_id: int,
     return out
 
 
+def _layer_rate(d, layer_id: int) -> tuple[float, bool]:
+    """(sample_rate, use_label_map) for a layer — background keeps
+    BKGD_SAMPLE_RATE and always selects by segmentation; frozen layers
+    contribute no rays (ref: ray_dataset.py:29-43)."""
+    if layer_id == 0:
+        return d.BKGD_SAMPLE_RATE, True
+    rate = 0.0 if layer_id in list(d.FIXED_LAYER) else 1.0
+    return rate, d.USE_LABEL
+
+
+def _prefill_task(args):
+    """One (frame, layer) pregeneration unit — module-level so it pickles
+    into multiprocessing workers."""
+    cfg, spec, frame_id, layer_id, use_label, rate, seed = args
+    from .transforms import JointTransform
+
+    d = cfg.DATASETS
+    rng = np.random.default_rng(seed)
+    transform = JointTransform((cfg.INPUT.SIZE_TRAIN[1], cfg.INPUT.SIZE_TRAIN[0]),
+                               d.SHIFT, d.MAXRATION, d.ROTATION, rng=rng)
+    generate_frame_layer_rays(cfg, spec, transform, frame_id, layer_id,
+                              use_label, rate, rng)
+    return frame_id, layer_id
+
+
+def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0) -> int:
+    """Populate the per-(frame, layer) ray caches in parallel.
+
+    The reference pregenerates rays serially inside the first training epoch
+    — hours of host work at capture scale (101 frames x ~70 cams at 1080p,
+    ref: data/datasets/ray_dataset.py:374-451). Each (frame, layer) unit is
+    independent, so they fan out over a process pool; every unit draws from
+    its own seeded RNG, making the result independent of worker count.
+    Returns the number of units actually generated (cache misses).
+    """
+    d = cfg.DATASETS
+    frames = range(1 + d.FRAME_OFFSET, d.FRAME_OFFSET + d.FRAME_NUM + 1)
+    tasks = []
+    for layer_id in range(d.LAYER_NUM + 1):
+        rate, use_label = _layer_rate(d, layer_id)
+        if rate == 0.0:
+            continue
+        for frame_id in frames:
+            if os.path.exists(_cache_path(cfg, frame_id, layer_id)) \
+                    and not cfg.clean_ray:
+                continue
+            tasks.append((cfg, spec, frame_id, layer_id, use_label, rate,
+                          (seed, frame_id, layer_id)))
+    if not tasks:
+        return 0
+    if workers > 1 and len(tasks) > 1:
+        # spawn, not fork: the parent typically has live XLA/PIL threads by
+        # the time pregeneration runs and forked children deadlock on
+        # inherited locks. Workers never touch the TPU (pure NumPy/PIL).
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(min(workers, len(tasks))) as pool:
+            pool.map(_prefill_task, tasks, chunksize=1)
+    else:
+        for t in tasks:
+            _prefill_task(t)
+    return len(tasks)
+
+
 def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
-                   transform=None) -> tuple[dict, np.ndarray]:
+                   transform=None, workers: int = 1) -> tuple[dict, np.ndarray]:
     """Pregenerate the full training pool over all layers x frames.
 
     Returns (pool dict of flat arrays, bboxes (F+offset, L, 2, 3)) —
     the per-frame performer bboxes feed SceneBoxes.
     (ref: Ray_Dataset.__init__, ray_dataset.py:15-65)
+
+    ``workers > 1`` fans the per-(frame, layer) pregeneration out over a
+    process pool before the (cache-served) assembly loop.
     """
     from .transforms import JointTransform
 
     d = cfg.DATASETS
     rng = rng or np.random.default_rng(0)
+    if workers > 1:
+        prefill_ray_caches(cfg, spec, workers=workers)
     if transform is None:
         transform = JointTransform((cfg.INPUT.SIZE_TRAIN[1], cfg.INPUT.SIZE_TRAIN[0]),
                                    d.SHIFT, d.MAXRATION, d.ROTATION, rng=rng)
@@ -132,11 +206,7 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
     boxes = np.zeros((d.FRAME_NUM + d.FRAME_OFFSET, d.LAYER_NUM, 2, 3), np.float32)
     parts = []
     for layer_id in range(d.LAYER_NUM + 1):
-        if layer_id == 0:
-            rate, use_label = d.BKGD_SAMPLE_RATE, True
-        else:
-            rate = 0.0 if layer_id in list(d.FIXED_LAYER) else 1.0
-            use_label = d.USE_LABEL
+        rate, use_label = _layer_rate(d, layer_id)
         for frame_id in frames:
             part = generate_frame_layer_rays(cfg, spec, transform, frame_id,
                                              layer_id, use_label, rate, rng)

@@ -76,6 +76,25 @@ class TestSceneConfigs:
         assert cfg.SOLVER.BASE_LR == 4e-4
         assert cfg.DATASETS.LAYER_NUM == 2
 
+    def test_pickle_roundtrip(self):
+        """Configs cross process boundaries in multiprocessing ray
+        pregeneration — dict-subclass pickling must preserve values and the
+        frozen flag (plain dict reduce restores items before instance
+        state, tripping the frozen check)."""
+        import pickle
+
+        cfg = get_cfg()
+        cfg.MODEL.COARSE_RAY_SAMPLING = 17
+        back = pickle.loads(pickle.dumps(cfg))
+        assert back.MODEL.COARSE_RAY_SAMPLING == 17
+        assert not back.is_frozen()
+        back.MODEL.FINE_RAY_SAMPLING = 3  # still mutable
+
+        cfg.freeze()
+        frozen = pickle.loads(pickle.dumps(cfg))
+        assert frozen.is_frozen()
+        assert frozen.MODEL.COARSE_RAY_SAMPLING == 17
+
     def test_spec_from_scene_config(self):
         from stnerf_tpu.models.layered import LayeredSpec
 

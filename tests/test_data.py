@@ -157,6 +157,34 @@ class TestSynthetic:
         pool2, _ = build_ray_pool(cfg, spec, np.random.default_rng(1))
         np.testing.assert_allclose(pool2["rays"], pool["rays"])
 
+    def test_prefill_parallel_matches_serial(self, tmp_path_factory):
+        """Multi-process prefill writes the same per-(frame, layer) caches a
+        serial build would read: the assembled pools are identical."""
+        from stnerf_tpu.data import prefill_ray_caches
+
+        root_a = str(tmp_path_factory.mktemp("scene_par"))
+        make_synthetic_scene(root_a, width=60, height=45, num_cams=4,
+                             num_frames=2)
+        cfg = synthetic_cfg(root_a, 60, 45, 2)
+        spec = LayeredSpec.from_cfg(cfg)
+        n_units = prefill_ray_caches(cfg, spec, workers=2)
+        assert n_units == (2 + 1) * 2  # (layers+bkgd) x frames
+        pool_par, _ = build_ray_pool(cfg, spec, np.random.default_rng(0))
+
+        # second call: everything cached
+        assert prefill_ray_caches(cfg, spec, workers=2) == 0
+
+        # serial prefill on a fresh copy of the same scene
+        root_b = str(tmp_path_factory.mktemp("scene_ser"))
+        make_synthetic_scene(root_b, width=60, height=45, num_cams=4,
+                             num_frames=2)
+        cfg_b = synthetic_cfg(root_b, 60, 45, 2)
+        assert prefill_ray_caches(cfg_b, spec, workers=1) == 6
+        pool_ser, _ = build_ray_pool(cfg_b, spec, np.random.default_rng(0))
+        for k in pool_par:
+            np.testing.assert_allclose(pool_par[k], pool_ser[k],
+                                       err_msg=f"pool key {k}")
+
     def test_render_scene(self, scene_root):
         cfg = synthetic_cfg(scene_root, 60, 45, 2)
         rs = RenderScene(cfg)

@@ -31,6 +31,9 @@ def main():
                    help="early-stop when mean epoch PSNR exceeds this")
     p.add_argument("--model-parallel", type=int, default=None,
                    help="devices on the model (layer) mesh axis")
+    p.add_argument("--workers", type=int, default=None,
+                   help="ray-pregeneration processes (default: "
+                        "DATALOADER.NUM_WORKERS capped at host CPUs)")
     args = p.parse_args()
 
     from stnerf_tpu.config import get_cfg
@@ -56,7 +59,8 @@ def main():
     spec = LayeredSpec.from_cfg(cfg)
     logger.info("building training ray pool (cached under %s/%s)...",
                 cfg.DATASETS.TRAIN, cfg.DATASETS.TMP_RAYS)
-    pool, scene = make_train_data(cfg, spec, np.random.default_rng(args.seed))
+    pool, scene = make_train_data(cfg, spec, np.random.default_rng(args.seed),
+                                  workers=args.workers)
     logger.info("ray pool: %d rays", pool["rays"].shape[0])
 
     resume_epoch = 0
