@@ -23,6 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_GPU_RAYS_PER_SEC = 5.0e4
+# reference training rate estimate for the same workload shape (the repo
+# logs rays/s at ref: engine/layered_trainer.py:304 but records no value;
+# a single 2020-class GPU trains NeRF-family MLPs at O(1e4) rays/s)
+REF_GPU_TRAIN_RAYS_PER_SEC = 1.0e4
 
 WIDTH, HEIGHT = 1920, 1080
 # 64x64-pixel chunks: small square screen tiles maximize the chunk-level
@@ -30,6 +34,79 @@ WIDTH, HEIGHT = 1920, 1080
 # is 12.9 -> 7.9 s/frame)
 CHUNK = 4096
 TILE_COLS = 64
+
+
+def train_throughput():
+    """Training rays/s on the scanned production epoch (taekwondo-shaped
+    workload: batch 2000 rays, 48+24 samples, 2 performers + background,
+    space-time + deformation MLPs, full coarse+fine+mask losses + Adam).
+    Comparable metric in the reference: the trainer's rays/s log line
+    (ref: engine/layered_trainer.py:304)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stnerf_tpu.config import get_cfg
+    from stnerf_tpu.engine import make_optimizer, make_train_epoch
+    from stnerf_tpu.engine.trainer import TrainBatch
+    from stnerf_tpu.models import RayInputs, SceneBoxes, init_layered_params
+    from stnerf_tpu.models.layered import LayeredSpec
+
+    cfg = get_cfg()
+    cfg.DATASETS.LAYER_NUM = 2
+    cfg.MODEL.SAMPLE_METHOD = "BBOX"
+    cfg.MODEL.USE_SPACE_TIME = True
+    cfg.MODEL.USE_DEFORM_TIME = True
+    cfg.MODEL.COARSE_RAY_SAMPLING = 48
+    cfg.MODEL.FINE_RAY_SAMPLING = 24
+    cfg.MODEL.REMOVE_OUTLIERS = True
+    spec = LayeredSpec.from_cfg(cfg)
+
+    params = init_layered_params(jax.random.PRNGKey(0), spec)
+    scene = SceneBoxes(
+        bkgd_box=jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]]),
+        boxes=jnp.tile(jnp.array([[[-1.0, -1, 0], [1, 1, 2]],
+                                  [[-1.0, 1, 0], [1, 3, 2]]])[None], (3, 1, 1, 1)),
+        bkgd_near_far=jnp.array([0.5, 16.0]))
+
+    steps, batch, n = 16, 2000, 65536
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] += 2.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pool = jax.device_put(TrainBatch(
+        inputs=RayInputs(
+            rays_o=jnp.asarray(np.tile(np.array([[0, 0, -5.0]], np.float32),
+                                       (n, 1))),
+            rays_d=jnp.asarray(d),
+            frame_ids=jnp.asarray(rng.integers(0, 3, size=(n, 3))
+                                  .astype(np.float32)),
+            cam_ids=jnp.zeros((n,), jnp.float32),
+            near_far=jnp.tile(jnp.array([[0.5, 16.0]], jnp.float32), (n, 1))),
+        rgb=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
+        labels=jnp.asarray(rng.integers(0, 3, size=(n,)).astype(np.int32))))
+
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    epoch_fn = make_train_epoch(spec, optimizer, remove_outliers=True)
+
+    def run(params, opt_state, seed):
+        params, opt_state, metrics = epoch_fn(
+            params, opt_state, scene, pool, jax.random.PRNGKey(seed),
+            jnp.asarray(1.0), batch_size=batch, steps=steps,
+            only_coarse=False)
+        float(jax.device_get(jnp.mean(metrics.loss)))  # tunnel-safe sync
+        return params, opt_state
+
+    params, opt_state = run(params, opt_state, 0)  # compile + warm
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        params, opt_state = run(params, opt_state, i + 1)
+        best = min(best, time.time() - t0)
+    return steps * batch / best
 
 
 def main():
@@ -103,6 +180,8 @@ def main():
                      key=key)
     e2e_s = time.time() - t0
 
+    train_rays_s = train_throughput()
+
     rays_per_s = n / frame_s
     mrays = rays_per_s / 1e6
     print(json.dumps({
@@ -114,6 +193,9 @@ def main():
                    "sec_per_frame_with_tunnel_download": round(e2e_s, 3),
                    "compile_s": round(compile_s, 1),
                    "samples_per_ray": 120, "layers": 3,
+                   "train_rays_per_s": round(train_rays_s),
+                   "train_vs_ref_rays_per_s": round(
+                       train_rays_s / REF_GPU_TRAIN_RAYS_PER_SEC, 2),
                    "devices": len(jax.devices())},
     }))
 
