@@ -75,6 +75,13 @@ _C.DATASETS.FRAME_NUM = 0
 _C.DATASETS.LAYER_NUM = 0
 _C.DATASETS.CAMERA_NUM = 0
 _C.DATASETS.BKGD_SAMPLE_RATE = 0.1
+# Cap on assembled training-pool rays (0 = unlimited). The TPU trainer keeps
+# the whole pool HBM-resident for the scanned epoch (engine/trainer.py);
+# capture-scale scenes can pregenerate >100M rays — far past the HBM and
+# host->device budget. When the pool exceeds the cap it is uniformly
+# subsampled at assembly (new knob; the reference has no counterpart — it
+# re-reads batches from host DataLoader workers every step).
+_C.DATASETS.MAX_POOL_RAYS = 0
 _C.DATASETS.CAMERA_STEPSIZE = 1
 _C.DATASETS.USE_LABEL = False
 _C.DATASETS.VIEW_MASK = None

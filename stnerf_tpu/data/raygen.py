@@ -18,35 +18,49 @@ import os
 
 import numpy as np
 
-from .cameras import pixel_rays, project_bbox_roi
+from .cameras import pixel_rays_at, project_bbox_roi
 from .scene import FrameLayerScene, corners_from_minmax
 
 
-def _select_rays(image, label, K, T, layer_id: int, bbox, use_label_map: bool):
+def _select_rays(image, label, K, T, layer_id: int, bbox, use_label_map: bool,
+                 rate: float = 1.0, rng: np.random.Generator | None = None):
     """Pixel selection for one camera.
 
     use_label_map: keep pixels whose segmentation == layer_id
     (ref: utils/ray_sampling.py:194-240). Otherwise: keep the projected-bbox
     ROI crop with its labels (ref: utils/ray_sampling.py:75-192).
     Returns (rays (N,6), labels (N,1), rgbs (N,3)).
+
+    ``rate < 1`` subsamples the kept pixel set *before* ray arithmetic.
+    The reference subsamples the concatenated all-camera pool instead
+    (ref: ray_dataset.py:429-439) — per-camera sampling draws from the same
+    distribution at ~1/rate less host work, which dominates pregeneration
+    wall-clock for background layers (BKGD_SAMPLE_RATE ≈ 0.05 at 1080p).
     """
     _, H, W = image.shape
-    rgb_hw = np.moveaxis(image, 0, -1).reshape(-1, 3)
-    lab_hw = label.reshape(-1, 1)
+    lab_flat = label.reshape(-1)
 
     if use_label_map:
-        keep = (lab_hw[:, 0] == layer_id)
-        rays = pixel_rays(K, T, H, W)[keep]
-        return rays.astype(np.float32), lab_hw[keep], rgb_hw[keep]
+        keep_idx = np.flatnonzero(lab_flat == layer_id)
+    else:
+        roi = (project_bbox_roi(corners_from_minmax(bbox[0], bbox[1]), K, T, H, W)
+               if bbox is not None else (0, H, 0, W))
+        minh, maxh, minw, maxw = roi
+        vs, us = np.meshgrid(np.arange(minh, maxh), np.arange(minw, maxw),
+                             indexing="ij")
+        keep_idx = (vs * W + us).reshape(-1)
 
-    roi = (project_bbox_roi(corners_from_minmax(bbox[0], bbox[1]), K, T, H, W)
-           if bbox is not None else (0, H, 0, W))
-    minh, maxh, minw, maxw = roi
-    sel = np.zeros((H, W), bool)
-    sel[minh:maxh, minw:maxw] = True
-    sel = sel.reshape(-1)
-    return (pixel_rays(K, T, H, W, roi).astype(np.float32),
-            lab_hw[sel], rgb_hw[sel])
+    if rate < 1.0 and keep_idx.size:
+        n_keep = int(keep_idx.size * rate)
+        keep_idx = (rng or np.random.default_rng()).choice(
+            keep_idx, size=n_keep, replace=False)
+        keep_idx.sort()
+
+    vs, us = np.divmod(keep_idx, W)
+    rays = pixel_rays_at(K, T, us, vs)
+    # planar gather: no full-image HWC copy
+    rgbs = np.ascontiguousarray(image.reshape(3, -1)[:, keep_idx].T)
+    return rays, lab_flat[keep_idx, None].astype(label.dtype), rgbs
 
 
 def _append_id_columns(rays, cam_id, frame_id, spec):
@@ -98,7 +112,7 @@ def generate_frame_layer_rays(cfg, spec, transform, frame_id: int,
         if not ok:
             continue
         rays, labels, rgbs = _select_rays(image, label, K, T, layer_id, bbox,
-                                          use_label_map)
+                                          use_label_map, sample_rate, rng)
         rays = _append_id_columns(rays, cam, frame_id, spec)
         rays_l.append(rays)
         rgbs_l.append(rgbs)
@@ -109,12 +123,10 @@ def generate_frame_layer_rays(cfg, spec, transform, frame_id: int,
         return empty
     out = {"rays": np.concatenate(rays_l), "rgbs": np.concatenate(rgbs_l),
            "labels": np.concatenate(labels_l), "near_fars": np.concatenate(nf_l)}
-    if sample_rate != 1.0:
-        n = out["rays"].shape[0]
-        keep = rng.permutation(n)[: int(n * sample_rate)]
-        out = {k: v[keep] for k, v in out.items()}
     os.makedirs(cache_dir, exist_ok=True)
-    np.savez_compressed(cache, **out)
+    # uncompressed: zlib on float32 rays compresses poorly and costs minutes
+    # per (frame, layer) at capture scale on a single host core
+    np.savez(cache, **out)
     return out
 
 
@@ -156,11 +168,14 @@ def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0) -> int:
     d = cfg.DATASETS
     frames = range(1 + d.FRAME_OFFSET, d.FRAME_OFFSET + d.FRAME_NUM + 1)
     tasks = []
-    for layer_id in range(d.LAYER_NUM + 1):
-        rate, use_label = _layer_rate(d, layer_id)
-        if rate == 0.0:
-            continue
-        for frame_id in frames:
+    # frame-major: the serial path then reuses the decoded-image LRU cache
+    # across a frame's layers (workers share nothing, so their order is
+    # only a tie-break)
+    for frame_id in frames:
+        for layer_id in range(d.LAYER_NUM + 1):
+            rate, use_label = _layer_rate(d, layer_id)
+            if rate == 0.0:
+                continue
             if os.path.exists(_cache_path(cfg, frame_id, layer_id)) \
                     and not cfg.clean_ray:
                 continue
@@ -205,9 +220,12 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
     frames = range(1 + d.FRAME_OFFSET, d.FRAME_OFFSET + d.FRAME_NUM + 1)
     boxes = np.zeros((d.FRAME_NUM + d.FRAME_OFFSET, d.LAYER_NUM, 2, 3), np.float32)
     parts = []
-    for layer_id in range(d.LAYER_NUM + 1):
-        rate, use_label = _layer_rate(d, layer_id)
-        for frame_id in frames:
+    # frame-major so all layers of a frame reuse the decoded-image LRU
+    # cache (scene._decoded_image); pool order is irrelevant downstream —
+    # the trainer draws random batches
+    for frame_id in frames:
+        for layer_id in range(d.LAYER_NUM + 1):
+            rate, use_label = _layer_rate(d, layer_id)
             part = generate_frame_layer_rays(cfg, spec, transform, frame_id,
                                              layer_id, use_label, rate, rng)
             if layer_id != 0:
@@ -222,4 +240,10 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
             parts.append(part)
 
     pool = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    cap = getattr(d, "MAX_POOL_RAYS", 0)
+    n = pool["rays"].shape[0]
+    if cap and n > cap:
+        keep = rng.choice(n, size=cap, replace=False)
+        keep.sort()
+        pool = {k: v[keep] for k, v in pool.items()}
     return pool, boxes

@@ -12,6 +12,7 @@ same directory layout so a dataset can be shared with the reference tooling.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 import numpy as np
@@ -20,6 +21,19 @@ from PIL import Image
 from .cameras import load_camposes, load_intrinsics, load_view_mask
 from .ply import read_ply_points
 from .transforms import JointTransform
+
+@_functools.lru_cache(maxsize=24)
+def _decoded_image(path: str) -> np.ndarray:
+    """Decoded uint8 HxWx(3|4) image, LRU-cached by path.
+
+    Pool pregeneration visits every frame's images once per layer
+    (build_ray_pool iterates frame-major); caching the decode serves layers
+    2..L for free — at 1080p the PNG decode is the single largest remaining
+    pregeneration cost on a 1-core host. 24 entries ≈ one frame's cameras
+    (~150 MB at 1080p uint8)."""
+    with Image.open(path) as im:
+        return np.asarray(im)
+
 
 BBOX_CORNER_ORDER = np.array([
     # corner indexing the reference uses: 0..3 bottom (z=min), 4..7 top
@@ -153,14 +167,14 @@ class FrameLayerScene:
 
         T, K = self.Ts[camera_id], self.Ks[camera_id]
         img_path = self._find(self.image_dir, camera_id, (".png", ".jpg"))
-        img = Image.open(img_path) if img_path else None
+        img = _decoded_image(img_path) if img_path else None
 
         lab_path = self._find(self.label_dir, camera_id, (".npy",)) or \
             self._find(self.label_dir, camera_id, ("_label.npy",))
         if lab_path:
             label = np.load(lab_path)
         elif img is not None:
-            label = np.full((img.size[1], img.size[0]), self.layer_id, np.uint8)
+            label = np.full(img.shape[:2], self.layer_id, np.uint8)
         else:
             label = None
 

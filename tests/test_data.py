@@ -157,6 +157,18 @@ class TestSynthetic:
         pool2, _ = build_ray_pool(cfg, spec, np.random.default_rng(1))
         np.testing.assert_allclose(pool2["rays"], pool["rays"])
 
+    def test_build_ray_pool_cap(self, scene_root):
+        """MAX_POOL_RAYS uniformly subsamples the assembled pool (HBM /
+        upload budget for capture-scale scenes)."""
+        cfg = synthetic_cfg(scene_root, 60, 45, 2)
+        cfg.DATASETS.MAX_POOL_RAYS = 500
+        spec = LayeredSpec.from_cfg(cfg)
+        pool, _ = build_ray_pool(cfg, spec, np.random.default_rng(0))
+        assert pool["rays"].shape[0] == 500
+        assert pool["rgbs"].shape == (500, 3)
+        # subsample keeps rays from several layers
+        assert len(np.unique(pool["bbox_labels"])) >= 2
+
     def test_prefill_parallel_matches_serial(self, tmp_path_factory):
         """Multi-process prefill writes the same per-(frame, layer) caches a
         serial build would read: the assembled pools are identical."""
