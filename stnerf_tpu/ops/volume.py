@@ -31,6 +31,44 @@ class RenderedRays(NamedTuple):
     weights: jnp.ndarray  # (N, S, 1)
 
 
+@jax.custom_vjp
+def _cumprod_bounded(f: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.cumprod(f, axis=-1)`` with a closed-form backward.
+
+    Valid ONLY for transmittance factors ``1 - alpha + 1e-10``. XLA
+    differentiates the log-depth prefix network of the stock cumprod —
+    measured 10.97 ms fwd+bwd vs 1.37 ms for this form at (3, 2000, 120) on
+    a v5e chip (8x). With P = cumprod(f):
+    dL/df_i = (Σ_{m≥i} dP_m·P_m) / f_i — one reversed cumsum and a divide,
+    both a single VPU pass.
+
+    The divide is clamped to 1e-10: under jit, XLA's algebraic simplifier
+    reassociates ``(1 - alpha) + 1e-10`` into ``(1 + 1e-10) - alpha`` and
+    const-folds ``1 + 1e-10`` to ``1.0`` in f32 — so fully-saturated samples
+    (alpha == 1, e.g. at the 1e10 boarder delta) reach this function as
+    EXACT zeros despite the source-level epsilon. Clamping reproduces the
+    intended epsilon math; the gradient this approximates is multiplied
+    downstream by ``d alpha/d sigma = delta * exp(-sigma*delta)``, whose exp
+    has underflowed to 0 wherever f hit the floor, so the approximation
+    never reaches a parameter.
+    """
+    return jnp.cumprod(f, axis=-1)
+
+
+def _cumprod_bounded_fwd(f):
+    P = jnp.cumprod(f, axis=-1)
+    return P, (f, P)
+
+
+def _cumprod_bounded_bwd(res, dP):
+    f, P = res
+    s = jnp.cumsum((dP * P)[..., ::-1], axis=-1)[..., ::-1]
+    return (s / jnp.maximum(f, jnp.asarray(1e-10, f.dtype)),)
+
+
+_cumprod_bounded.defvjp(_cumprod_bounded_fwd, _cumprod_bounded_bwd)
+
+
 def render_weights(sigma: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     """Per-sample compositing weights from raw density and segment lengths.
 
@@ -39,8 +77,8 @@ def render_weights(sigma: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
     trans = 1.0 - alpha + 1e-10
     # Exclusive cumprod: prepend ones, drop the last term.
-    trans = jnp.cumprod(jnp.concatenate([jnp.ones_like(trans[:, :1]), trans], axis=-1),
-                        axis=-1)[:, :-1]
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]),
+                             _cumprod_bounded(trans)[:, :-1]], axis=-1)
     return alpha * trans
 
 
@@ -173,7 +211,7 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
     f = 1.0 - alpha + 1e-10
     # P[l, :, m] = product of layer l's first m factors (P[:, :, 0] = 1)
     P = jnp.concatenate([jnp.ones((L, N, 1), f.dtype),
-                         jnp.cumprod(f, axis=-1)], axis=-1)  # (L, N, S+1)
+                         _cumprod_bounded(f)], axis=-1)      # (L, N, S+1)
 
     own_excl = P[:, :, :S]
     T = []

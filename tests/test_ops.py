@@ -318,6 +318,48 @@ def test_nosort_composite_matches_sorted_path():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_cumprod_closed_form_backward_matches_autodiff():
+    """The compositors' transmittance cumprod carries a closed-form VJP
+    (valid because factors are bounded below by 1e-10 — ops/volume.py
+    ``_cumprod_bounded``); its gradients must equal differentiating the
+    stock ``jnp.cumprod`` prefix network, including at saturated samples.
+    Runs under jit: XLA const-folds the source-level ``+ 1e-10`` away
+    (reassociation), so compiled saturated factors are EXACT zeros — the
+    closed form must stay finite there (it clamps its divide)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stnerf_tpu.ops.volume import render_weights
+
+    def weights_stock(sigma, delta):
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+        f = 1.0 - alpha + 1e-10
+        trans = jnp.cumprod(
+            jnp.concatenate([jnp.ones_like(f[:, :1]), f], -1), -1)[:, :-1]
+        return alpha * trans
+
+    rng = np.random.default_rng(3)
+    sigma = np.asarray(rng.normal(size=(32, 48)), np.float32)
+    sigma[:4, 5] = 1e6          # opaque sample: factor hits the 1e-10 floor
+    sigma = jnp.asarray(sigma)
+    delta = jnp.asarray(rng.uniform(0.01, 0.2, size=(32, 48))
+                        .astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32))
+
+    def loss(wfn):
+        return lambda s, d: jnp.sum(wfn(s, d) * g)
+
+    np.testing.assert_allclose(np.asarray(jax.jit(render_weights)(sigma, delta)),
+                               np.asarray(jax.jit(weights_stock)(sigma, delta)),
+                               rtol=1e-6, atol=1e-7)
+    for arg in (0, 1):
+        ga = jax.jit(jax.grad(loss(weights_stock), arg))(sigma, delta)
+        gb = jax.jit(jax.grad(loss(render_weights), arg))(sigma, delta)
+        assert np.isfinite(np.asarray(gb)).all()
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_ssim_bounded_on_smooth_images():
     """SSIM regression guard: smooth (low-variance-window) images exercise
     the catastrophic cancellation in the variance terms that made TPU bf16
