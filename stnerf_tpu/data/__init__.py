@@ -4,7 +4,8 @@ from .cameras import (load_camposes, load_intrinsics, load_view_mask,
 from .transforms import JointTransform
 from .scene import FrameLayerScene, corners_from_minmax, minmax_from_corners
 from .raygen import (build_ray_pool, generate_frame_layer_rays,
-                     prefill_ray_caches)
+                     prefill_ray_caches, decode_pool_host,
+                     transform_is_deterministic)
 from .build import RenderScene, ViewScene, make_train_data
 from .synthetic import make_synthetic_scene, synthetic_cfg
 
@@ -13,7 +14,8 @@ __all__ = [
     "load_view_mask", "pixel_rays", "project_bbox_roi", "lookat",
     "spherical_position", "JointTransform", "FrameLayerScene",
     "corners_from_minmax", "minmax_from_corners", "build_ray_pool",
-    "generate_frame_layer_rays", "prefill_ray_caches", "RenderScene",
+    "generate_frame_layer_rays", "prefill_ray_caches", "decode_pool_host",
+    "transform_is_deterministic", "RenderScene",
     "ViewScene", "make_train_data",
     "make_synthetic_scene", "synthetic_cfg",
 ]

@@ -22,17 +22,21 @@ from .cameras import pixel_rays_at, project_bbox_roi
 from .scene import FrameLayerScene, corners_from_minmax
 
 
-def _select_rays(image, label, K, T, layer_id: int, bbox, use_label_map: bool,
-                 rate: float = 1.0, rng: np.random.Generator | None = None):
-    """Pixel selection for one camera.
+def _select_pixels(image, label, K, T, layer_id: int, bbox,
+                   use_label_map: bool, rate: float = 1.0,
+                   rng: np.random.Generator | None = None):
+    """Pixel selection for one camera — the compact core.
 
     use_label_map: keep pixels whose segmentation == layer_id
     (ref: utils/ray_sampling.py:194-240). Otherwise: keep the projected-bbox
     ROI crop with its labels (ref: utils/ray_sampling.py:75-192).
-    Returns (rays (N,6), labels (N,1), rgbs (N,3)).
+    Returns (pix (N,) uint32 flat indices, labels (N,) uint8, rgbs (N,3)
+    uint8) — no ray arithmetic; rays are reconstructed from (cam, pix) by
+    the device decoder (engine/trainer.make_decode) or
+    :func:`decode_pool_host`.
 
-    ``rate < 1`` subsamples the kept pixel set *before* ray arithmetic.
-    The reference subsamples the concatenated all-camera pool instead
+    ``rate < 1`` subsamples the kept pixel set here. The reference
+    subsamples the concatenated all-camera pool instead
     (ref: ray_dataset.py:429-439) — per-camera sampling draws from the same
     distribution at ~1/rate less host work, which dominates pregeneration
     wall-clock for background layers (BKGD_SAMPLE_RATE ≈ 0.05 at 1080p).
@@ -56,11 +60,28 @@ def _select_rays(image, label, K, T, layer_id: int, bbox, use_label_map: bool,
             keep_idx, size=n_keep, replace=False)
         keep_idx.sort()
 
-    vs, us = np.divmod(keep_idx, W)
+    # planar gather: no full-image HWC copy; re-quantize the float image
+    # (identity transform: float == uint8/255, so this is exact)
+    rgbs = (image.reshape(3, -1)[:, keep_idx].T * 255.0 + 0.5).astype(np.uint8)
+    return (keep_idx.astype(np.uint32), lab_flat[keep_idx].astype(np.uint8),
+            np.ascontiguousarray(rgbs))
+
+
+def _select_rays(image, label, K, T, layer_id: int, bbox, use_label_map: bool,
+                 rate: float = 1.0, rng: np.random.Generator | None = None):
+    """f32 variant of :func:`_select_pixels` for the legacy pool format
+    (kept for randomly-augmented transforms, whose per-sample warped K
+    cannot be captured by the compact per-camera tables).
+    Returns (rays (N,6), labels (N,1), rgbs (N,3) f32) — rgbs gathered from
+    the float image directly (warped pixels are not uint8-exact)."""
+    _, H, W = image.shape
+    keep_idx, labels, _ = _select_pixels(image, label, K, T, layer_id,
+                                         bbox, use_label_map, rate, rng)
+    idx = keep_idx.astype(np.int64)
+    vs, us = np.divmod(idx, W)
     rays = pixel_rays_at(K, T, us, vs)
-    # planar gather: no full-image HWC copy
-    rgbs = np.ascontiguousarray(image.reshape(3, -1)[:, keep_idx].T)
-    return rays, lab_flat[keep_idx, None].astype(label.dtype), rgbs
+    rgbs = np.ascontiguousarray(image.reshape(3, -1)[:, idx].T)
+    return rays, labels[:, None].astype(np.float32), rgbs
 
 
 def _append_id_columns(rays, cam_id, frame_id, spec):
@@ -80,49 +101,80 @@ def _append_id_columns(rays, cam_id, frame_id, spec):
     return np.concatenate(cols, 1) if len(cols) > 1 else rays
 
 
-def _cache_path(cfg, frame_id: int, layer_id: int) -> str:
+def _cache_path(cfg, frame_id: int, layer_id: int,
+                compact: bool = False) -> str:
     d = cfg.DATASETS
+    name = "rays_px.npz" if compact else "rays.npz"
     return os.path.join(d.TRAIN, d.TMP_RAYS, f"frame{frame_id}",
-                        f"layer{layer_id}", "rays.npz")
+                        f"layer{layer_id}", name)
+
+
+def transform_is_deterministic(transform) -> bool:
+    """True when the joint transform applies no random augmentation — the
+    precondition for the compact pixel pool (per-camera K tables)."""
+    return not (getattr(transform, "random_range", 0)
+                or getattr(transform, "random_ratio", 0)
+                or getattr(transform, "random_rotation", 0))
 
 
 def generate_frame_layer_rays(cfg, spec, transform, frame_id: int,
                               layer_id: int, use_label_map: bool,
-                              sample_rate: float,
-                              rng: np.random.Generator) -> dict:
-    """Build (or load from cache) the ray set of one (frame, layer)."""
+                              sample_rate: float, rng: np.random.Generator,
+                              compact: bool = False) -> dict:
+    """Build (or load from cache) the ray set of one (frame, layer).
+
+    ``compact`` stores {cams u16, pix u32, labels u8, rgb u8} — 10 bytes/ray
+    instead of the 48-byte decoded f32 rows; rays/near-far are reconstructed
+    from (cam, pix) + per-camera tables (build_ray_pool / make_decode).
+    """
     d = cfg.DATASETS
-    cache = _cache_path(cfg, frame_id, layer_id)
+    cache = _cache_path(cfg, frame_id, layer_id, compact)
     cache_dir = os.path.dirname(cache)
-    empty = {"rays": np.zeros((0, 6), np.float32),
-             "rgbs": np.zeros((0, 3), np.float32),
-             "labels": np.zeros((0, 1), np.float32),
-             "near_fars": np.zeros((0, 2), np.float32)}
+    if compact:
+        empty = {"cams": np.zeros((0,), np.uint16),
+                 "pix": np.zeros((0,), np.uint32),
+                 "labels": np.zeros((0,), np.uint8),
+                 "rgb": np.zeros((0, 3), np.uint8)}
+    else:
+        empty = {"rays": np.zeros((0, 6), np.float32),
+                 "rgbs": np.zeros((0, 3), np.float32),
+                 "labels": np.zeros((0, 1), np.float32),
+                 "near_fars": np.zeros((0, 2), np.float32)}
     if sample_rate == 0.0:
         return empty
 
     if os.path.exists(cache) and not cfg.clean_ray:
         with np.load(cache) as z:
-            return {k: z[k] for k in z.files}
+            if set(z.files) == set(empty):
+                return {k: z[k] for k in z.files}
 
     scene = FrameLayerScene(cfg, transform, frame_id, layer_id)
-    rays_l, rgbs_l, labels_l, nf_l = [], [], [], []
+    parts = {k: [] for k in empty}
     for cam in range(0, scene.cam_num, d.CAMERA_STEPSIZE):
         image, label, K, T, _, bbox, near_far, ok = scene.get_data(cam)
         if not ok:
             continue
-        rays, labels, rgbs = _select_rays(image, label, K, T, layer_id, bbox,
-                                          use_label_map, sample_rate, rng)
-        rays = _append_id_columns(rays, cam, frame_id, spec)
-        rays_l.append(rays)
-        rgbs_l.append(rgbs)
-        labels_l.append(labels.astype(np.float32))
-        nf_l.append(np.repeat(near_far, rays.shape[0], axis=0))
+        if compact:
+            pix, labels, rgbs = _select_pixels(image, label, K, T, layer_id,
+                                               bbox, use_label_map,
+                                               sample_rate, rng)
+            parts["cams"].append(np.full(pix.shape[0], cam, np.uint16))
+            parts["pix"].append(pix)
+            parts["labels"].append(labels)
+            parts["rgb"].append(rgbs)
+        else:
+            rays, labels, rgbs = _select_rays(image, label, K, T, layer_id,
+                                              bbox, use_label_map,
+                                              sample_rate, rng)
+            rays = _append_id_columns(rays, cam, frame_id, spec)
+            parts["rays"].append(rays)
+            parts["rgbs"].append(rgbs)
+            parts["labels"].append(labels.astype(np.float32))
+            parts["near_fars"].append(np.repeat(near_far, rays.shape[0], axis=0))
 
-    if not rays_l:
+    if not next(iter(parts.values())):
         return empty
-    out = {"rays": np.concatenate(rays_l), "rgbs": np.concatenate(rgbs_l),
-           "labels": np.concatenate(labels_l), "near_fars": np.concatenate(nf_l)}
+    out = {k: np.concatenate(v) for k, v in parts.items()}
     os.makedirs(cache_dir, exist_ok=True)
     # uncompressed: zlib on float32 rays compresses poorly and costs minutes
     # per (frame, layer) at capture scale on a single host core
@@ -143,7 +195,7 @@ def _layer_rate(d, layer_id: int) -> tuple[float, bool]:
 def _prefill_task(args):
     """One (frame, layer) pregeneration unit — module-level so it pickles
     into multiprocessing workers."""
-    cfg, spec, frame_id, layer_id, use_label, rate, seed = args
+    cfg, spec, frame_id, layer_id, use_label, rate, seed, compact = args
     from .transforms import JointTransform
 
     d = cfg.DATASETS
@@ -151,11 +203,12 @@ def _prefill_task(args):
     transform = JointTransform((cfg.INPUT.SIZE_TRAIN[1], cfg.INPUT.SIZE_TRAIN[0]),
                                d.SHIFT, d.MAXRATION, d.ROTATION, rng=rng)
     generate_frame_layer_rays(cfg, spec, transform, frame_id, layer_id,
-                              use_label, rate, rng)
+                              use_label, rate, rng, compact=compact)
     return frame_id, layer_id
 
 
-def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0) -> int:
+def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0,
+                       compact: bool | None = None) -> int:
     """Populate the per-(frame, layer) ray caches in parallel.
 
     The reference pregenerates rays serially inside the first training epoch
@@ -166,6 +219,8 @@ def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0) -> int:
     Returns the number of units actually generated (cache misses).
     """
     d = cfg.DATASETS
+    if compact is None:
+        compact = not (d.SHIFT or d.MAXRATION or d.ROTATION)
     frames = range(1 + d.FRAME_OFFSET, d.FRAME_OFFSET + d.FRAME_NUM + 1)
     tasks = []
     # frame-major: the serial path then reuses the decoded-image LRU cache
@@ -176,11 +231,11 @@ def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0) -> int:
             rate, use_label = _layer_rate(d, layer_id)
             if rate == 0.0:
                 continue
-            if os.path.exists(_cache_path(cfg, frame_id, layer_id)) \
+            if os.path.exists(_cache_path(cfg, frame_id, layer_id, compact)) \
                     and not cfg.clean_ray:
                 continue
             tasks.append((cfg, spec, frame_id, layer_id, use_label, rate,
-                          (seed, frame_id, layer_id)))
+                          (seed, frame_id, layer_id), compact))
     if not tasks:
         return 0
     if workers > 1 and len(tasks) > 1:
@@ -196,13 +251,32 @@ def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0) -> int:
     return len(tasks)
 
 
+def _transformed_K(K: np.ndarray, orig_hw, out_hw) -> np.ndarray:
+    """Deterministic crop+resize K update — the zero-augmentation slice of
+    JointTransform's intrinsics math (data/transforms.py)."""
+    K = np.array(K, np.float32, copy=True)
+    K *= out_hw[0] / orig_hw[0]
+    K[2, 2] = 1.0
+    return K
+
+
 def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
-                   transform=None, workers: int = 1) -> tuple[dict, np.ndarray]:
+                   transform=None, workers: int = 1,
+                   compact: bool | None = None) -> tuple[dict, np.ndarray]:
     """Pregenerate the full training pool over all layers x frames.
 
     Returns (pool dict of flat arrays, bboxes (F+offset, L, 2, 3)) —
     the per-frame performer bboxes feed SceneBoxes.
     (ref: Ray_Dataset.__init__, ray_dataset.py:15-65)
+
+    ``compact`` (default: auto — on when the transform is deterministic)
+    returns the compact pixel bundle: per-ray {cams u16, pix u32, frames
+    u16, labels u8, bbox_labels u8, rgb u8} (13 bytes/ray vs 56 decoded)
+    plus per-camera tables {table_inv_K, table_rot, table_origin,
+    table_near_far} and "width"; rays are reconstructed on device
+    (engine/trainer.make_decode) or on host (:func:`decode_pool_host`).
+    Randomly-augmented transforms fall back to the decoded f32 format
+    (per-sample warped K cannot live in per-camera tables).
 
     ``workers > 1`` fans the per-(frame, layer) pregeneration out over a
     process pool before the (cache-served) assembly loop.
@@ -211,15 +285,36 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
 
     d = cfg.DATASETS
     rng = rng or np.random.default_rng(0)
-    if workers > 1:
-        prefill_ray_caches(cfg, spec, workers=workers)
     if transform is None:
         transform = JointTransform((cfg.INPUT.SIZE_TRAIN[1], cfg.INPUT.SIZE_TRAIN[0]),
                                    d.SHIFT, d.MAXRATION, d.ROTATION, rng=rng)
+    if compact is None:
+        compact = transform_is_deterministic(transform)
+
+    # assembled-pool cache: one consolidated file so a retried run skips the
+    # per-(frame, layer) load+concat pass (an hour of host copies at capture
+    # scale on this class of host)
+    cap = getattr(d, "MAX_POOL_RAYS", 0)
+    fmt = "px" if compact else "f32"
+    bundle_file = os.path.join(
+        d.TRAIN, d.TMP_RAYS,
+        f"pool_F{d.FRAME_NUM}_O{d.FRAME_OFFSET}_L{d.LAYER_NUM}"
+        f"_r{d.BKGD_SAMPLE_RATE:g}_u{int(d.USE_LABEL)}"
+        f"_w{cfg.INPUT.SIZE_TRAIN[0]}x{cfg.INPUT.SIZE_TRAIN[1]}"
+        f"_cap{cap}_{fmt}.npz")
+    boxes_file = bundle_file.replace(".npz", "_boxes.npy")
+    if (os.path.exists(bundle_file) and os.path.exists(boxes_file)
+            and not cfg.clean_ray):
+        with np.load(bundle_file) as z:
+            return {k: z[k] for k in z.files}, np.load(boxes_file)
+
+    if workers > 1:
+        prefill_ray_caches(cfg, spec, workers=workers, compact=compact)
 
     frames = range(1 + d.FRAME_OFFSET, d.FRAME_OFFSET + d.FRAME_NUM + 1)
     boxes = np.zeros((d.FRAME_NUM + d.FRAME_OFFSET, d.LAYER_NUM, 2, 3), np.float32)
     parts = []
+    nf_table = None
     # frame-major so all layers of a frame reuse the decoded-image LRU
     # cache (scene._decoded_image); pool order is irrelevant downstream —
     # the trainer draws random batches
@@ -227,23 +322,96 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
         for layer_id in range(d.LAYER_NUM + 1):
             rate, use_label = _layer_rate(d, layer_id)
             part = generate_frame_layer_rays(cfg, spec, transform, frame_id,
-                                             layer_id, use_label, rate, rng)
-            if layer_id != 0:
-                scene = FrameLayerScene(cfg, transform, frame_id, layer_id)
-                if scene.bbox is not None:
-                    boxes[frame_id - 1, layer_id - 1] = scene.bbox
+                                             layer_id, use_label, rate, rng,
+                                             compact=compact)
+            scene = FrameLayerScene(cfg, transform, frame_id, layer_id)
+            if layer_id != 0 and scene.bbox is not None:
+                boxes[frame_id - 1, layer_id - 1] = scene.bbox
+            part = dict(part)
+            n_part = part["pix" if compact else "rays"].shape[0]
             # every ray of this set nominally belongs to this layer
             # (ref: ray_dataset.py:454); the true pixel segmentation stays in
             # "labels" and drives the mask-alpha loss
-            part = dict(part)
-            part["bbox_labels"] = np.full_like(part["labels"], layer_id)
+            if compact:
+                part["bbox_labels"] = np.full(n_part, layer_id, np.uint8)
+                part["frames"] = np.full(n_part, frame_id, np.uint16)
+                if nf_table is None:
+                    nf_table = np.zeros(
+                        (d.LAYER_NUM + 1, d.FRAME_OFFSET + d.FRAME_NUM + 1,
+                         scene.cam_num, 2), np.float32)
+                off = scene.file_offset if scene.use_camera_num else 0
+                sl = slice(off, off + scene.cam_num)
+                nf_table[layer_id, frame_id, :, 0] = scene.near[sl]
+                nf_table[layer_id, frame_id, :, 1] = scene.far[sl]
+            else:
+                part["bbox_labels"] = np.full_like(part["labels"], layer_id)
             parts.append(part)
 
     pool = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-    cap = getattr(d, "MAX_POOL_RAYS", 0)
-    n = pool["rays"].shape[0]
+    n = pool[next(iter(pool))].shape[0]
     if cap and n > cap:
         keep = rng.choice(n, size=cap, replace=False)
         keep.sort()
         pool = {k: v[keep] for k, v in pool.items()}
+
+    if compact:
+        # per-camera constant tables for on-device ray decoding
+        scene = FrameLayerScene(cfg, transform, 1 + d.FRAME_OFFSET, 0)
+        out_w, out_h = cfg.INPUT.SIZE_TRAIN
+        orig_w, orig_h = scene.original_size()
+        off = scene.file_offset if scene.use_camera_num else 0
+        cams = [c + off for c in range(scene.cam_num)]
+        Ks = [_transformed_K(scene.Ks[c], (orig_h, orig_w), (out_h, out_w))
+              for c in cams]
+        pool["table_inv_K"] = np.stack(
+            [np.linalg.inv(K).astype(np.float32) for K in Ks])
+        pool["table_rot"] = np.stack(
+            [scene.Ts[c, :3, :3].astype(np.float32) for c in cams])
+        pool["table_origin"] = np.stack(
+            [scene.Ts[c, :3, 3].astype(np.float32) for c in cams])
+        pool["table_near_far"] = nf_table if nf_table is not None else \
+            np.zeros((d.LAYER_NUM + 1, 1, scene.cam_num, 2), np.float32)
+        pool["width"] = np.int64(out_w)
+
+    os.makedirs(os.path.dirname(bundle_file), exist_ok=True)
+    np.savez(bundle_file, **pool)
+    np.save(boxes_file, boxes)
     return pool, boxes
+
+
+def decode_pool_host(bundle: dict, spec) -> dict:
+    """Compact pixel bundle -> decoded f32 pool dict {rays, rgbs, labels,
+    near_fars, bbox_labels} (the legacy layout), on host. Mirrors the
+    device decoder (engine/trainer.make_decode) for consumers that want
+    packed rays."""
+    W = int(bundle["width"])
+    cams = bundle["cams"].astype(np.int64)
+    pix = bundle["pix"].astype(np.int64)
+    vs, us = np.divmod(pix, W)
+
+    K_inv = bundle["table_inv_K"][cams]                       # (N, 3, 3)
+    p3 = np.stack([us, vs, np.ones_like(us)], -1).astype(np.float32)
+    d = np.einsum("nij,nj->ni", K_inv, p3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = np.einsum("nij,nj->ni", bundle["table_rot"][cams], d)
+    o = bundle["table_origin"][cams]
+
+    frames = bundle["frames"].astype(np.int64)
+    bl = bundle["bbox_labels"].astype(np.int64)
+    nf = bundle["table_near_far"][bl, frames, cams]           # (N, 2)
+
+    rays = np.concatenate([o, d], axis=1).astype(np.float32)
+    # id columns follow _append_id_columns (the reference ray layouts)
+    if spec.pose_refinement:
+        ids = cams[:, None].astype(np.float32)
+        rays = np.concatenate([rays[:, :3], ids, rays[:, 3:6], ids], 1)
+    cols = [rays]
+    if spec.use_deform_view:
+        cols.append(cams[:, None].astype(np.float32))
+    if spec.use_deform_time or spec.use_space_time:
+        cols.append(frames[:, None].astype(np.float32))
+    return {"rays": np.concatenate(cols, 1) if len(cols) > 1 else rays,
+            "rgbs": bundle["rgb"].astype(np.float32) / 255.0,
+            "labels": bundle["labels"][:, None].astype(np.float32),
+            "near_fars": nf.astype(np.float32),
+            "bbox_labels": bundle["bbox_labels"][:, None].astype(np.float32)}

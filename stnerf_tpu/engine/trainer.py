@@ -36,6 +36,74 @@ class TrainBatch(NamedTuple):
     labels: jnp.ndarray  # (N,) int segmentation label
 
 
+class CompactPool(NamedTuple):
+    """HBM-resident training pool in the compact pixel format: 13 bytes/ray
+    vs 56 for the decoded f32 TrainBatch (4.3x less HBM and host->device
+    traffic). Rays are reconstructed on device per batch by
+    :func:`make_decode` from the camera tables — the training-side analogue
+    of on-chip render raygen (render/pose_device.py). The reference has no
+    counterpart: it re-reads decoded f32 rays from DataLoader workers every
+    step (ref: data/build.py:13-27)."""
+    cams: jnp.ndarray         # (N,) uint16 camera index
+    pix: jnp.ndarray          # (N,) uint32 flat pixel index v*W + u
+    frames: jnp.ndarray       # (N,) uint16 1-based frame id
+    labels: jnp.ndarray       # (N,) uint8 segmentation label
+    bbox_labels: jnp.ndarray  # (N,) uint8 generating layer id
+    rgb: jnp.ndarray          # (N, 3) uint8
+
+
+class CamTables(NamedTuple):
+    """Per-camera constants for on-device ray decoding (tiny, replicated)."""
+    inv_K: jnp.ndarray     # (M, 3, 3) f32 — transformed-K inverse
+    rot: jnp.ndarray       # (M, 3, 3) f32 c2w rotation
+    origin: jnp.ndarray    # (M, 3) f32 camera centers (scene scale applied)
+    near_far: jnp.ndarray  # (L+1, F+1, M, 2) f32 indexed [layer, frame, cam]
+
+
+def make_decode(tables: CamTables, spec: LayeredSpec, width: int):
+    """Batch decoder: CompactPool rows -> TrainBatch (jit-traceable).
+
+    Reproduces the host ray generator's math exactly
+    (data/cameras.pixel_rays_at): dir = c2w_rot @ normalize(K^-1 [u, v, 1]),
+    origin = camera center. Table lookups are one-hot matmuls (MXU-friendly;
+    lane-dim gathers are slow on TPU — see RESULTS.md)."""
+    lp1 = spec.layer_num + 1
+    M = tables.inv_K.shape[0]
+    nf_flat = tables.near_far.reshape(-1, 2)
+
+    def decode(rows: CompactPool) -> TrainBatch:
+        cam = rows.cams.astype(jnp.int32)
+        pix = rows.pix.astype(jnp.int32)
+        frame = rows.frames.astype(jnp.float32)
+        u = (pix % width).astype(jnp.float32)
+        v = (pix // width).astype(jnp.float32)
+        ones = jnp.ones_like(u)
+        pix3 = jnp.stack([u, v, ones], axis=-1)                   # (B, 3)
+
+        oh = jax.nn.one_hot(cam, M, dtype=jnp.float32)            # (B, M)
+        inv_K = (oh @ tables.inv_K.reshape(M, 9)).reshape(-1, 3, 3)
+        rot = (oh @ tables.rot.reshape(M, 9)).reshape(-1, 3, 3)
+        o = oh @ tables.origin                                    # (B, 3)
+
+        d = jnp.einsum("bij,bj->bi", inv_K, pix3)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.einsum("bij,bj->bi", rot, d)
+
+        f_dim = tables.near_far.shape[1]
+        nf_idx = (rows.bbox_labels.astype(jnp.int32) * f_dim
+                  + rows.frames.astype(jnp.int32)) * M + cam
+        nf = (jax.nn.one_hot(nf_idx, nf_flat.shape[0], dtype=jnp.float32)
+              @ nf_flat)                                          # (B, 2)
+
+        inputs = RayInputs(o, d, jnp.tile(frame[:, None], (1, lp1)),
+                           cam.astype(jnp.float32), nf)
+        return TrainBatch(inputs=inputs,
+                          rgb=rows.rgb.astype(jnp.float32) / 255.0,
+                          labels=rows.labels.astype(jnp.int32))
+
+    return decode
+
+
 class StepMetrics(NamedTuple):
     loss: jnp.ndarray
     rgb_loss: jnp.ndarray
@@ -122,7 +190,7 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
 
 
 def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
-                     remove_outliers: bool = False, mesh=None):
+                     remove_outliers: bool = False, mesh=None, decode=None):
     """Whole-epoch device program: ``lax.scan`` over steps sampling batches
     from a device-resident ray pool.
 
@@ -179,6 +247,8 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
             if fold_axis:
                 sub = jax.random.fold_in(sub, didx)
             batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pool)
+            if decode is not None:
+                batch = decode(batch)
 
             def loss_fn(p):
                 return _losses(spec, edits, remove_outliers, p, scene, batch,
@@ -259,6 +329,24 @@ def make_pool(train_pool: dict, spec: LayeredSpec) -> TrainBatch:
         labels=jnp.asarray(np.asarray(train_pool["labels"]).reshape(-1), jnp.int32))
 
 
+def split_compact_bundle(bundle: dict) -> tuple[CompactPool, CamTables, int]:
+    """A compact pool bundle (data/raygen.build_ray_pool output when the
+    transform is deterministic) -> (per-ray CompactPool, CamTables, width)."""
+    pool = CompactPool(
+        cams=jnp.asarray(np.asarray(bundle["cams"], np.uint16)),
+        pix=jnp.asarray(np.asarray(bundle["pix"], np.uint32)),
+        frames=jnp.asarray(np.asarray(bundle["frames"], np.uint16)),
+        labels=jnp.asarray(np.asarray(bundle["labels"], np.uint8)),
+        bbox_labels=jnp.asarray(np.asarray(bundle["bbox_labels"], np.uint8)),
+        rgb=jnp.asarray(np.asarray(bundle["rgb"], np.uint8)))
+    tables = CamTables(
+        inv_K=jnp.asarray(bundle["table_inv_K"], jnp.float32),
+        rot=jnp.asarray(bundle["table_rot"], jnp.float32),
+        origin=jnp.asarray(bundle["table_origin"], jnp.float32),
+        near_far=jnp.asarray(bundle["table_near_far"], jnp.float32))
+    return pool, tables, int(bundle["width"])
+
+
 def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
              train_pool: dict, optimizer=None, *, mesh=None,
              val_fn=None, resume_epoch: int = 0, psnr_thres: float = 100.0,
@@ -286,21 +374,32 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
         batch_size -= batch_size % n_data
         logger.warning("IMS_PER_BATCH trimmed to %d (multiple of data axis %d)",
                        batch_size, n_data)
+    compact = "pix" in train_pool
+    decode = None
+    if compact:
+        pool, tables, width = split_compact_bundle(train_pool)
+        tables = jax.device_put(tables)
+        decode = make_decode(tables, spec, width)
+        n_pool = pool.pix.shape[0]
+    else:
+        n_pool = train_pool["rays"].shape[0]
+        pool = make_pool(train_pool, spec)
     epoch_fn = make_train_epoch(spec, optimizer,
                                 remove_outliers=cfg.MODEL.REMOVE_OUTLIERS,
-                                mesh=mesh if n_data > 1 else None)
+                                mesh=mesh if n_data > 1 else None,
+                                decode=decode)
 
-    n_pool = train_pool["rays"].shape[0]
     steps = max(n_pool // batch_size, 1)
-    pool = make_pool(train_pool, spec)
     if n_data > 1:
         pool, _ = shard_pool(pool, mesh)
-        logger.info("pool sharded over %d devices: %d rays, %d steps/epoch",
-                    n_data, n_pool, steps)
+        logger.info("pool sharded over %d devices: %d rays, %d steps/epoch%s",
+                    n_data, n_pool, steps,
+                    " (compact pixel format)" if compact else "")
     else:
         pool = jax.device_put(pool)
-        logger.info("pool resident on device: %d rays, %d steps/epoch",
-                    n_pool, steps)
+        logger.info("pool resident on device: %d rays, %d steps/epoch%s",
+                    n_pool, steps,
+                    " (compact pixel format)" if compact else "")
 
     for epoch in range(1 + resume_epoch, s.MAX_EPOCHS):
         epoch_start = time.time()

@@ -139,33 +139,62 @@ class TestSynthetic:
         np.testing.assert_allclose(s2.bbox, s.bbox)
 
     def test_build_ray_pool(self, scene_root):
+        """Default (deterministic transform): compact pixel bundle."""
         cfg = synthetic_cfg(scene_root, 60, 45, 2)
         spec = LayeredSpec.from_cfg(cfg)
         pool, boxes = build_ray_pool(cfg, spec, np.random.default_rng(0))
-        n = pool["rays"].shape[0]
+        n = pool["pix"].shape[0]
         assert n > 1000
-        assert pool["rays"].shape[1] == 7  # o, d, frame col
-        assert pool["rgbs"].shape == (n, 3)
-        assert pool["labels"].shape == (n, 1)
-        assert pool["near_fars"].shape == (n, 2)
+        assert pool["cams"].dtype == np.uint16
+        assert pool["pix"].dtype == np.uint32
+        assert pool["rgb"].shape == (n, 3) and pool["rgb"].dtype == np.uint8
+        assert pool["frames"].shape == (n,)
+        assert pool["table_inv_K"].shape == (4, 3, 3)
+        assert pool["table_near_far"].shape == (3, 3, 4, 2)  # (L+1, F+1, M, 2)
+        assert int(pool["width"]) == 60
         assert boxes.shape == (2, 2, 2, 3)
         assert (boxes[0, 0, 1] - boxes[0, 0, 0]).min() > 1.0
         # layer-1 rays carry label 1 (label-selected)
-        l1 = pool["bbox_labels"][:, 0] == 1
+        l1 = pool["bbox_labels"] == 1
         assert (pool["labels"][l1] == 1).all()
         # cache reload gives identical pool
         pool2, _ = build_ray_pool(cfg, spec, np.random.default_rng(1))
-        np.testing.assert_allclose(pool2["rays"], pool["rays"])
+        np.testing.assert_array_equal(pool2["pix"], pool["pix"])
+
+    def test_compact_host_decode_matches_legacy(self, tmp_path_factory):
+        """decode_pool_host(compact bundle) reproduces the legacy f32 pool
+        bit-for-bit in rgb/labels/near_fars and to float tolerance in rays
+        (identical math, different association)."""
+        from stnerf_tpu.data import decode_pool_host
+
+        root = str(tmp_path_factory.mktemp("scene_codec"))
+        make_synthetic_scene(root, width=60, height=45, num_cams=4,
+                             num_frames=2)
+        cfg = synthetic_cfg(root, 60, 45, 2)
+        spec = LayeredSpec.from_cfg(cfg)
+        legacy, _ = build_ray_pool(cfg, spec, np.random.default_rng(0),
+                                   compact=False)
+        bundle, _ = build_ray_pool(cfg, spec, np.random.default_rng(0),
+                                   compact=True)
+        dec = decode_pool_host(bundle, spec)
+        assert dec["rays"].shape == legacy["rays"].shape
+        np.testing.assert_allclose(dec["rays"], legacy["rays"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(dec["rgbs"], legacy["rgbs"])
+        np.testing.assert_array_equal(dec["labels"], legacy["labels"])
+        np.testing.assert_allclose(dec["near_fars"], legacy["near_fars"],
+                                   rtol=1e-6)
 
     def test_build_ray_pool_cap(self, scene_root):
         """MAX_POOL_RAYS uniformly subsamples the assembled pool (HBM /
-        upload budget for capture-scale scenes)."""
+        upload budget for capture-scale scenes) — tables stay whole."""
         cfg = synthetic_cfg(scene_root, 60, 45, 2)
         cfg.DATASETS.MAX_POOL_RAYS = 500
         spec = LayeredSpec.from_cfg(cfg)
         pool, _ = build_ray_pool(cfg, spec, np.random.default_rng(0))
-        assert pool["rays"].shape[0] == 500
-        assert pool["rgbs"].shape == (500, 3)
+        assert pool["pix"].shape[0] == 500
+        assert pool["rgb"].shape == (500, 3)
+        assert pool["table_inv_K"].shape == (4, 3, 3)
         # subsample keeps rays from several layers
         assert len(np.unique(pool["bbox_labels"])) >= 2
 

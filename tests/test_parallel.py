@@ -143,6 +143,70 @@ class TestShardedEpoch:
         np.testing.assert_array_equal(np.asarray(sharded.rgb[-1]),
                                       np.asarray(pool.rgb[-1]))
 
+    def test_compact_pool_epoch_matches_decoded(self):
+        """A sharded epoch over the compact pixel pool (on-device decode,
+        closure-captured camera tables inside shard_map) produces the same
+        parameters as the same epoch over the pre-decoded f32 pool."""
+        from stnerf_tpu.engine import shard_pool
+        from stnerf_tpu.engine.trainer import (CamTables, CompactPool,
+                                               make_decode, make_train_epoch)
+
+        D, n_pool, batch, M, W = 8, 128, 32, 4, 60
+        rng = np.random.default_rng(3)
+        mesh = make_mesh()
+
+        rots = []
+        for _ in range(M):
+            q = rng.normal(size=(3, 3))
+            u, _, vt = np.linalg.svd(q)
+            rots.append((u @ vt).astype(np.float32))
+        tables = CamTables(
+            inv_K=jnp.asarray(np.tile(np.linalg.inv(
+                np.array([[50., 0, 30], [0, 50, 22.5], [0, 0, 1]],
+                         np.float32))[None], (M, 1, 1))),
+            rot=jnp.asarray(np.stack(rots)),
+            origin=jnp.asarray(rng.normal(size=(M, 3)).astype(np.float32) * 0.1
+                               + np.array([0, 0, -5], np.float32)),
+            near_far=jnp.asarray(
+                rng.uniform(0.5, 12, size=(3, 4, M, 2)).astype(np.float32)))
+        tables = CamTables(tables.inv_K, tables.rot, tables.origin,
+                           jnp.sort(tables.near_far, axis=-1))
+        pool = CompactPool(
+            cams=jnp.asarray(rng.integers(0, M, n_pool).astype(np.uint16)),
+            pix=jnp.asarray(rng.integers(0, W * 45, n_pool).astype(np.uint32)),
+            frames=jnp.asarray(rng.integers(1, 4, n_pool).astype(np.uint16)),
+            labels=jnp.asarray(rng.integers(0, 3, n_pool).astype(np.uint8)),
+            bbox_labels=jnp.asarray(rng.integers(0, 3, n_pool).astype(np.uint8)),
+            rgb=jnp.asarray(rng.integers(0, 256, (n_pool, 3)).astype(np.uint8)))
+        decode = make_decode(tables, SPEC, W)
+        decoded = jax.jit(decode)(pool)
+
+        # host copies: donated epoch args must not alias a reused device tree
+        params = jax.device_get(init_layered_params(jax.random.PRNGKey(0), SPEC))
+        scene = jax.device_get(make_scene())
+        ekey, mask_on = jax.random.PRNGKey(11), jnp.asarray(1.0)
+
+        outs = []
+        for p, dec in ((pool, decode), (decoded, None)):
+            # fresh optimizer per run: donated epoch args must not share
+            # buffers captured inside a reused optimizer's init
+            optimizer = make_optimizer(_cfg())
+            epoch_fn = make_train_epoch(SPEC, optimizer, remove_outliers=True,
+                                        mesh=mesh, decode=dec)
+            sp, _ = shard_pool(p, mesh)
+            dp = replicate(mesh, jax.tree.map(jnp.asarray, params))
+            p2, _, m = epoch_fn(dp, optimizer.init(dp),
+                                replicate(mesh, jax.tree.map(jnp.asarray, scene)),
+                                sp, ekey, mask_on,
+                                batch_size=batch, steps=2, only_coarse=False)
+            outs.append((jax.device_get(p2), np.asarray(m.loss)))
+
+        np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(outs[0][0]),
+                        jax.tree.leaves(outs[1][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
     def test_epoch_matches_host_reconstruction(self):
         """One sharded epoch step == per-shard local gathers + mean-of-shard
         grads + one replicated optimizer update, reconstructed on host."""

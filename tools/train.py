@@ -61,7 +61,9 @@ def main():
                 cfg.DATASETS.TRAIN, cfg.DATASETS.TMP_RAYS)
     pool, scene = make_train_data(cfg, spec, np.random.default_rng(args.seed),
                                   workers=args.workers)
-    logger.info("ray pool: %d rays", pool["rays"].shape[0])
+    n_rays = pool["pix" if "pix" in pool else "rays"].shape[0]
+    logger.info("ray pool: %d rays%s", n_rays,
+                " (compact pixel format)" if "pix" in pool else "")
 
     resume_epoch = 0
     ckpt = latest_checkpoint(cfg.OUTPUT_DIR) if args.resume else None
