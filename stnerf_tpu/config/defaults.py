@@ -126,6 +126,11 @@ _C.TPU = CN()
 # Compute dtype for MLP matmuls: "bfloat16" rides the MXU at full rate,
 # "float32" for bit-for-bit parity studies. Accumulation is always f32.
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Max scan steps per epoch device program (0 = whole epoch in one program).
+# Long single executions are fragile on some runtimes (observed: a TPU
+# worker restart at ~5 min of one scanned program); segmenting costs one
+# metrics readback per segment (~30 ms here) and nothing else.
+_C.TPU.EPOCH_SEGMENT_STEPS = 1000
 # Ray chunk size per device for full-image rendering (static shape; rays are
 # padded up to a multiple of this). Replaces utils/batchify_rays.py chunking.
 # Small spatially-square chunks maximize the per-chunk performer-field skip

@@ -401,17 +401,33 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
                     n_pool, steps,
                     " (compact pixel format)" if compact else "")
 
+    # Bound the length of a single device program: one scanned execution of
+    # a full capture-scale epoch runs for minutes, and long executions can
+    # outlive the runtime's patience (observed: TPU worker restarts at
+    # ~5 min of one program). Segments pay one ~30 ms metrics readback each.
+    seg = int(getattr(cfg.TPU, "EPOCH_SEGMENT_STEPS", 0) or 0)
+    if seg <= 0 or seg > steps:
+        seg = steps
+    n_seg = steps // seg
+    if n_seg * seg != steps:
+        logger.info("epoch trimmed %d -> %d steps (%d segments of %d)",
+                    steps, n_seg * seg, n_seg, seg)
+    steps = n_seg * seg
+
     for epoch in range(1 + resume_epoch, s.MAX_EPOCHS):
         epoch_start = time.time()
         only_coarse = epoch < s.COARSE_STAGE
         mask_on = jnp.asarray(1.0 if epoch < 3 else 0.0)
-        key, ekey = jax.random.split(key)
-        params, opt_state, metrics = epoch_fn(params, opt_state, scene, pool,
-                                              ekey, mask_on,
-                                              batch_size=batch_size,
-                                              steps=steps,
-                                              only_coarse=only_coarse)
-        metrics = jax.device_get(metrics)
+        seg_metrics = []
+        for _ in range(n_seg):
+            key, ekey = jax.random.split(key)
+            params, opt_state, m = epoch_fn(params, opt_state, scene, pool,
+                                            ekey, mask_on,
+                                            batch_size=batch_size,
+                                            steps=seg,
+                                            only_coarse=only_coarse)
+            seg_metrics.append(jax.device_get(m))
+        metrics = jax.tree.map(lambda *xs: np.concatenate(xs), *seg_metrics)
         elapsed = time.time() - epoch_start
         rays_per_s = steps * batch_size / max(elapsed, 1e-9)
 

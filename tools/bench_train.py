@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--pose", choices=["on", "off"], default="off",
                     help="POSE_REFINEMENT: learnable per-camera pose "
                          "correction (taekwondo config enables it)")
+    ap.add_argument("--compact", choices=["on", "off"], default="off",
+                    help="compact pixel pool with on-device ray decode "
+                         "(the capture-scale production path)")
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--batch", type=int, default=2000)
     ap.add_argument("--coarse", type=int, default=48)
@@ -76,11 +79,34 @@ def main():
             near_far=jnp.tile(jnp.array([[0.5, 16.0]], jnp.float32), (n, 1))),
         rgb=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
         labels=jnp.asarray(rng.integers(0, 3, size=(n,)).astype(np.int32)))
+    decode = None
+    if args.compact == "on":
+        # re-encode the same workload as a compact pixel pool; rays decode
+        # on device per batch (engine/trainer.make_decode)
+        from stnerf_tpu.engine.trainer import (CamTables, CompactPool,
+                                               make_decode)
+        M, W, H = 16, 1920, 1080
+        K = np.array([[1000.0, 0, 960], [0, 1000, 540], [0, 0, 1]], np.float32)
+        tables = CamTables(
+            inv_K=jnp.asarray(np.tile(np.linalg.inv(K)[None], (M, 1, 1))),
+            rot=jnp.asarray(np.tile(np.eye(3, dtype=np.float32)[None], (M, 1, 1))),
+            origin=jnp.asarray(np.tile(np.array([0, 0, -5.0], np.float32), (M, 1))),
+            near_far=jnp.asarray(np.tile(np.array([0.5, 16.0], np.float32),
+                                         (3, 4, M, 1))))
+        pool = CompactPool(
+            cams=jnp.asarray(rng.integers(0, M, n).astype(np.uint16)),
+            pix=jnp.asarray(rng.integers(0, W * H, n).astype(np.uint32)),
+            frames=jnp.asarray(rng.integers(1, 4, n).astype(np.uint16)),
+            labels=jnp.asarray(rng.integers(0, 3, n).astype(np.uint8)),
+            bbox_labels=jnp.asarray(rng.integers(0, 3, n).astype(np.uint8)),
+            rgb=jnp.asarray(rng.integers(0, 256, (n, 3)).astype(np.uint8)))
+        decode = make_decode(tables, spec, W)
     pool = jax.device_put(pool)
 
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
-    epoch_fn = make_train_epoch(spec, optimizer, remove_outliers=True)
+    epoch_fn = make_train_epoch(spec, optimizer, remove_outliers=True,
+                                decode=decode)
 
     def run(params, opt_state, seed):
         params, opt_state, metrics = epoch_fn(
@@ -107,8 +133,9 @@ def main():
               flush=True)
 
     best = args.steps * args.batch / min(times)
-    print(f"RESULT kernel={args.kernel} pose={args.pose} coarse={args.coarse} "
-          f"fine={args.fine} batch={args.batch}: {best:.0f} rays/s", flush=True)
+    print(f"RESULT kernel={args.kernel} pose={args.pose} "
+          f"compact={args.compact} coarse={args.coarse} fine={args.fine} "
+          f"batch={args.batch}: {best:.0f} rays/s", flush=True)
 
 
 if __name__ == "__main__":
