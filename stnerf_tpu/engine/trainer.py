@@ -153,6 +153,33 @@ def _finalize_metrics(raw: _RawMetrics, only_coarse: bool) -> StepMetrics:
                        to_psnr(raw.mse_c), to_psnr(raw.mse_f))
 
 
+def sort_batch_by_hit(spec: LayeredSpec, scene: SceneBoxes,
+                      batch: TrainBatch) -> TrainBatch:
+    """Reorder a batch so rays sharing a performer-bbox hit pattern are
+    contiguous. The loss is permutation-invariant; what changes is kernel
+    tile homogeneity — the fused trainable field kernel skips whole tiles
+    whose rays all miss a performer's bbox (kernels/fused_field.py
+    ``tile_flags``), so grouping misses converts per-ray waste into skipped
+    MXU work. The batch-level analogue of the renderer's tile-order raygen
+    (render/pose_device.py)."""
+    from ..models.layered import _gather_boxes
+    from ..ops.sampling import ray_aabb_intersect
+
+    L = spec.layer_num
+    if L == 0:
+        return batch
+    inputs = batch.inputs
+    N = inputs.rays_o.shape[0]
+    boxes = _gather_boxes(scene, inputs.frame_ids[:, 1:])      # (N, L, 2, 3)
+    o = jnp.broadcast_to(inputs.rays_o[:, None, :], (N, L, 3))
+    d = jnp.broadcast_to(inputs.rays_d[:, None, :], (N, L, 3))
+    _, _, hit = ray_aabb_intersect(o, d, boxes[..., 0, :], boxes[..., 1, :])
+    key = jnp.sum(hit.astype(jnp.int32) * (2 ** jnp.arange(L, dtype=jnp.int32)),
+                  axis=1)
+    order = jnp.argsort(key)
+    return jax.tree.map(lambda x: jnp.take(x, order, axis=0), batch)
+
+
 def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
                     remove_outliers: bool = False):
     """Returns step(params, opt_state, scene, batch, key, mask_on,
@@ -224,6 +251,10 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     spec = dataclasses.replace(spec, use_pallas=False,
                                nosort_composite=True)
     edits = EditState.identity(spec.layer_num)
+    # group rays by bbox-hit pattern so the fused kernel's tile-skip flags
+    # bite (only the trainable-fused path consumes them)
+    from ..models.layered import _use_trainable_fused
+    sort_hits = _use_trainable_fused(spec) and spec.layer_num > 0
 
     n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
     if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) != 1 and n_data > 1:
@@ -249,6 +280,8 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
             batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pool)
             if decode is not None:
                 batch = decode(batch)
+            if sort_hits:
+                batch = sort_batch_by_hit(spec, scene, batch)
 
             def loss_fn(p):
                 return _losses(spec, edits, remove_outliers, p, scene, batch,

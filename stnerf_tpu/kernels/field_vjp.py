@@ -90,9 +90,48 @@ def _motion_bwd(dtype, m_ops, acts, d_flow):
     return grads, dy.astype(jnp.float32)
 
 
-def _field_bwd_kernel(cfg, xyz_ref, id_ref, dir_ref, drgb_ref, dsig_ref,
-                      *refs):
-    (motion_mode, use_time, n_rgb, freqs, inc, dtype) = cfg
+def _accumulate_add(grefs, grads):
+    """Add-only accumulation (init handled separately — used under a
+    skip-flag ``pl.when`` where the first grid step may not execute the
+    compute branch)."""
+    for gref, g in zip(grefs, grads):
+        gv = g.astype(jnp.float32)
+        if gv.ndim == 2 and gref.shape != gv.shape:
+            gv = gv.reshape(gref.shape)
+        gref[...] = gref[...] + gv
+
+
+def _field_bwd_kernel(cfg, *all_refs):
+    (motion_mode, use_time, n_rgb, freqs, inc, dtype, has_flags) = cfg
+    if not has_flags:
+        _field_bwd_body(cfg, accumulate_grads, *all_refs)
+        return
+
+    flags_ref, *refs_all = all_refs
+    n_motion = N_MOTION_OPS if motion_mode else 0
+    n_sops = _N_BASE_OPS + 2 * (n_rgb - 1)
+    tail = refs_all[5 + n_motion + n_sops:]
+    *grefs, dxyz_ref, ddir_ref = tail
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        # accumulators must be defined even if every tile is skipped
+        for gref in grefs:
+            gref[...] = jnp.zeros_like(gref[...])
+
+    @pl.when(flags_ref[pl.program_id(0)] != 0)
+    def _():
+        _field_bwd_body(cfg, _accumulate_add, *refs_all)
+
+    @pl.when(flags_ref[pl.program_id(0)] == 0)
+    def _():
+        dxyz_ref[...] = jnp.zeros_like(dxyz_ref[...])
+        ddir_ref[...] = jnp.zeros_like(ddir_ref[...])
+
+
+def _field_bwd_body(cfg, accumulate, xyz_ref, id_ref, dir_ref, drgb_ref,
+                    dsig_ref, *refs):
+    (motion_mode, use_time, n_rgb, freqs, inc, dtype, _) = cfg
     n_motion = N_MOTION_OPS if motion_mode else 0
     n_sops = _N_BASE_OPS + 2 * (n_rgb - 1)
     m_ops = [r[...] for r in refs[:n_motion]]
@@ -143,14 +182,15 @@ def _field_bwd_kernel(cfg, xyz_ref, id_ref, dir_ref, drgb_ref, dsig_ref,
             d_xyz_m = _encode_vjp(enc_m, d_enc_m, 4, freqs, inc)[:3]
         # x_d = xyz + flow(xyz): both paths feed d_xyz
         dxyz_ref[...] = d_xd + d_xyz_m
-        accumulate_grads(grefs, m_grads + s_grads)
+        accumulate(grefs, m_grads + s_grads)
     else:
         dxyz_ref[...] = d_xd
-        accumulate_grads(grefs, s_grads)
+        accumulate(grefs, s_grads)
 
 
 def _call_bwd(space_kp, motion_kp, spec, motion_mode, xyz, ids, dir_enc,
-              d_rgb, d_sigma, compute_dtype, interpret, tile):
+              d_rgb, d_sigma, compute_dtype, interpret, tile,
+              tile_flags=None):
     m = xyz.shape[-1]
     xyz_p, ids_p, dir_p = (_pad_cols(x, tile) for x in (xyz, ids, dir_enc))
     drgb_p = _pad_cols(d_rgb, tile)              # zero padding: no grad leak
@@ -158,13 +198,14 @@ def _call_bwd(space_kp, motion_kp, spec, motion_mode, xyz, ids, dir_enc,
     mp = xyz_p.shape[-1]
     n_rgb = 4 if spec.deep_rgb else 2
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    has_flags = tile_flags is not None
     cfg = (motion_mode, spec.use_time, n_rgb, spec.pos_freqs,
-           spec.include_input, dtype)
+           spec.include_input, dtype, has_flags)
 
     kparams = (tuple(motion_kp) if motion_mode else ()) + tuple(space_kp)
 
     def tile_spec(rows):
-        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i, *_: (0, i),
                             memory_space=pltpu.VMEM)
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -172,36 +213,52 @@ def _call_bwd(space_kp, motion_kp, spec, motion_mode, xyz, ids, dir_enc,
     out_shapes = [jax.ShapeDtypeStruct(op.shape, jnp.float32)
                   for op in kparams]
     out_specs = [pl.BlockSpec(op.shape,
-                              (lambda nd: (lambda i: (0,) * nd))(len(op.shape)),
+                              (lambda nd: (lambda i, *_: (0,) * nd))(len(op.shape)),
                               memory_space=pltpu.VMEM) for op in kparams]
     out_shapes += [jax.ShapeDtypeStruct((3, mp), jnp.float32),
                    jax.ShapeDtypeStruct((dir_p.shape[0], mp), jnp.float32)]
     out_specs += [tile_spec(3), tile_spec(dir_p.shape[0])]
 
-    outs = pl.pallas_call(
-        functools.partial(_field_bwd_kernel, cfg),
-        grid=(mp // tile,),
-        in_specs=[tile_spec(3), tile_spec(1), tile_spec(dir_p.shape[0]),
-                  tile_spec(3), tile_spec(1)] + [full] * len(kparams),
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
-        interpret=interpret,
-    )(xyz_p, ids_p, dir_p, drgb_p, dsig_p, *kparams)
+    in_specs = [tile_spec(3), tile_spec(1), tile_spec(dir_p.shape[0]),
+                tile_spec(3), tile_spec(1)] + [full] * len(kparams)
+    args = (xyz_p, ids_p, dir_p, drgb_p, dsig_p, *kparams)
+    if has_flags:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(mp // tile,),
+            in_specs=in_specs, out_specs=tuple(out_specs))
+        outs = pl.pallas_call(
+            functools.partial(_field_bwd_kernel, cfg),
+            grid_spec=grid_spec, out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(jnp.asarray(tile_flags, jnp.int32), *args)
+    else:
+        outs = pl.pallas_call(
+            functools.partial(_field_bwd_kernel, cfg),
+            grid=(mp // tile,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(*args)
     *grads, dxyz, ddir = outs
     n_motion = N_MOTION_OPS if motion_mode else 0
     return (grads[:n_motion], grads[n_motion:],
             dxyz[:, :m], ddir[:, :m])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def field_planar_trainable(space_params, motion_params, xyz, ids, dir_enc,
-                           spec, motion_mode=None, compute_dtype="bfloat16",
-                           interpret=False, tile=1024):
+                           tile_flags, spec, motion_mode=None,
+                           compute_dtype="bfloat16", interpret=False,
+                           tile=1024):
     """Differentiable fully-fused field on raw planar positions.
 
     space_params: SpaceNet pytree; motion_params: MotionNet pytree or None;
     xyz (3, M) canonical pre-deformation positions; ids (1, M) frame ids
-    (never differentiated); dir_enc (dir_dim, M) direction encoding.
+    (never differentiated); dir_enc (dir_dim, M) direction encoding;
+    tile_flags ((ceil(M/tile),) int32 or None) per-tile skip flags — 0
+    tiles write zero outputs forward and contribute zero gradients (exact,
+    because downstream hit-masking already zeroes those rays' densities).
     -> (rgb (3, M), sigma (M,)). Gradients flow to both param trees, xyz
     (through deformation + position encoding) and dir_enc.
     """
@@ -211,15 +268,15 @@ def field_planar_trainable(space_params, motion_params, xyz, ids, dir_enc,
            if motion_mode else ())
     return fused_field(skp, mkp, spec, xyz, ids, dir_enc,
                        motion_mode=motion_mode, compute_dtype=compute_dtype,
-                       interpret=interpret, tile=tile)
+                       interpret=interpret, tile=tile, tile_flags=tile_flags)
 
 
-def _vjp_fwd(space_params, motion_params, xyz, ids, dir_enc, spec,
-             motion_mode, compute_dtype, interpret, tile):
+def _vjp_fwd(space_params, motion_params, xyz, ids, dir_enc, tile_flags,
+             spec, motion_mode, compute_dtype, interpret, tile):
     out = field_planar_trainable(space_params, motion_params, xyz, ids,
-                                 dir_enc, spec, motion_mode, compute_dtype,
-                                 interpret, tile)
-    return out, (space_params, motion_params, xyz, ids, dir_enc)
+                                 dir_enc, tile_flags, spec, motion_mode,
+                                 compute_dtype, interpret, tile)
+    return out, (space_params, motion_params, xyz, ids, dir_enc, tile_flags)
 
 
 def _unflatten_motion_grads(flat):
@@ -229,7 +286,7 @@ def _unflatten_motion_grads(flat):
 
 def _vjp_bwd(spec, motion_mode, compute_dtype, interpret, tile, residuals,
              cotangents):
-    space_params, motion_params, xyz, ids, dir_enc = residuals
+    space_params, motion_params, xyz, ids, dir_enc, tile_flags = residuals
     d_rgb, d_sigma = cotangents
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     skp = prepare_kernel_params_planar(space_params, spec, dtype)
@@ -237,11 +294,12 @@ def _vjp_bwd(spec, motion_mode, compute_dtype, interpret, tile, residuals,
            if motion_mode else ())
     m_flat, s_flat, d_xyz, d_dir = _call_bwd(
         skp, mkp, spec, motion_mode, xyz, ids, dir_enc, d_rgb, d_sigma,
-        compute_dtype, interpret, tile)
+        compute_dtype, interpret, tile, tile_flags=tile_flags)
     d_space = _unflatten_grads(s_flat, space_params, spec)
     d_motion = _unflatten_motion_grads(m_flat) if motion_mode else None
     return (d_space, d_motion, d_xyz.astype(xyz.dtype),
-            jnp.zeros_like(ids), d_dir.astype(dir_enc.dtype))
+            jnp.zeros_like(ids), d_dir.astype(dir_enc.dtype),
+            None if tile_flags is None else jnp.zeros_like(tile_flags))
 
 
 field_planar_trainable.defvjp(_vjp_fwd, _vjp_bwd)

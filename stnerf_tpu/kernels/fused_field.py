@@ -56,8 +56,27 @@ def _encode(v, num_freqs, include_input):
     return jnp.concatenate(pieces, axis=0)
 
 
-def _kernel(cfg, xyz_ref, id_ref, dir_ref, *refs):
-    (motion_mode, use_time, n_rgb, freqs, inc, dtype) = cfg
+def _kernel(cfg, *all_refs):
+    (motion_mode, use_time, n_rgb, freqs, inc, dtype, has_flags) = cfg
+    if has_flags:
+        flags_ref, *all_refs = all_refs
+        out_ref = all_refs[-1]
+
+        @pl.when(flags_ref[pl.program_id(0)] != 0)
+        def _():
+            _kernel_body(cfg, *all_refs)
+
+        @pl.when(flags_ref[pl.program_id(0)] == 0)
+        def _():
+            # skipped tile: downstream hit-masking zeroes these rays'
+            # sigma, but the outputs must still be finite (0 * NaN = NaN)
+            out_ref[...] = jnp.zeros_like(out_ref)
+    else:
+        _kernel_body(cfg, *all_refs)
+
+
+def _kernel_body(cfg, xyz_ref, id_ref, dir_ref, *refs):
+    (motion_mode, use_time, n_rgb, freqs, inc, dtype, _) = cfg
     relu = jax.nn.relu
     n_motion = 12 if motion_mode else 0
     m_ops = refs[:n_motion]
@@ -125,12 +144,18 @@ def _pad_cols(x, m):
 def fused_field(space_kparams, motion_kparams, spec, xyz, ids, dir_enc,
                 motion_mode: str | None = None,
                 compute_dtype: str = "bfloat16",
-                interpret: bool = False, tile: int = 2048):
+                interpret: bool = False, tile: int = 2048,
+                tile_flags=None):
     """Evaluate one deformed radiance field.
 
     xyz (3, M) raw canonical positions, ids (1, M) frame/camera ids,
     dir_enc (dir_dim, M) precomputed direction encoding.
     motion_mode: None | "lerp" (fractional-id blend) | "direct".
+    ``tile_flags`` ((ceil(M/tile),) int32, optional): per-tile skip flags —
+    a 0 tile writes zeros without touching the MXU. With the training batch
+    sorted by bbox-hit pattern (engine/trainer.sort_batch_by_hit), tiles are
+    hit-homogeneous and a performer field pays only for rays that can see
+    it — the batch-level analogue of the renderer's chunk skip.
     -> (rgb (3, M), sigma (M,)).
     """
     m = xyz.shape[-1]
@@ -140,13 +165,16 @@ def fused_field(space_kparams, motion_kparams, spec, xyz, ids, dir_enc,
     mp = xyz_p.shape[-1]
     n_rgb = 4 if spec.deep_rgb else 2
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    has_flags = tile_flags is not None
     cfg = (motion_mode, spec.use_time, n_rgb, spec.pos_freqs,
-           spec.include_input, dtype)
+           spec.include_input, dtype, has_flags)
 
     kparams = (tuple(motion_kparams) if motion_mode else ()) + tuple(space_kparams)
 
     def tile_spec(rows):
-        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+        # index_map takes (i, *scalar_prefetch_refs) — works with and
+        # without the flags prefetch operand
+        return pl.BlockSpec((rows, tile), lambda i, *_: (0, i),
                             memory_space=pltpu.VMEM)
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -158,16 +186,25 @@ def fused_field(space_kparams, motion_kparams, spec, xyz, ids, dir_enc,
                      + (W + spec.dir_dim + spec.time_dim) * 128
                      + (n_rgb - 1) * 128 * 128
                      + (85 * 128 + 4 * 128 * 128 + 128 * 3 if motion_mode else 0))
-    out = pl.pallas_call(
-        functools.partial(_kernel, cfg),
-        grid=(mp // tile,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+    out_spec = pl.BlockSpec((4, tile), lambda i, *_: (0, i),
+                            memory_space=pltpu.VMEM)
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((4, mp), jnp.float32),
         cost_estimate=pl.CostEstimate(flops=flops_per * mp,
                                       bytes_accessed=mp * 4 * 40,
                                       transcendentals=mp * 70),
-        interpret=interpret,
-    )(xyz_p, ids_p, dir_p, *kparams)
+        interpret=interpret)
+    if has_flags:
+        flags = jnp.asarray(tile_flags, jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(mp // tile,),
+            in_specs=in_specs, out_specs=out_spec)
+        out = pl.pallas_call(functools.partial(_kernel, cfg),
+                             grid_spec=grid_spec, **common)(
+            flags, xyz_p, ids_p, dir_p, *kparams)
+    else:
+        out = pl.pallas_call(functools.partial(_kernel, cfg),
+                             grid=(mp // tile,), in_specs=in_specs,
+                             out_specs=out_spec, **common)(
+            xyz_p, ids_p, dir_p, *kparams)
     return out[0:3, :m], out[3, :m]

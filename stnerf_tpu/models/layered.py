@@ -406,7 +406,7 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
 def _eval_fields_trainable_fused(params: dict, spec: LayeredSpec,
                                  xyz: jnp.ndarray, dirs_p: jnp.ndarray,
                                  frame_ids: jnp.ndarray, fine: bool,
-                                 active=None):
+                                 active=None, ray_hit=None):
     """Fully-fused training-path field evaluation (kernels.field_vjp):
     per-layer MotionNet, all positional encodings and the SpaceNet run
     inside one Pallas kernel per field — forward and backward. xyz here is
@@ -429,12 +429,31 @@ def _eval_fields_trainable_fused(params: dict, spec: LayeredSpec,
     else:
         dir_b = jnp.zeros((1, M), jnp.float32)
 
-    def run(net_params, motion_params, motion_mode, sspec, x, t_ids):
+    TILE = 1024
+    mp = -(-M // TILE) * TILE
+
+    def tile_flags(hit_l):
+        # per-tile any-hit: with the batch sorted by hit pattern
+        # (engine/trainer.sort_batch_by_hit) tiles are hit-homogeneous and
+        # a miss-heavy batch skips most of a performer field's MXU work.
+        # Exact: downstream _mask_sigma_* zeroes missed rays' densities, so
+        # skipped tiles' zero outputs and zero gradients match the full
+        # computation after masking.
+        if hit_l is None:
+            return None
+        hs = jnp.broadcast_to(hit_l[:, None], (N, S)).reshape(-1)
+        if mp != M:
+            hs = jnp.concatenate([hs, jnp.zeros((mp - M,), bool)])
+        return jnp.any(hs.reshape(-1, TILE), axis=-1).astype(jnp.int32)
+
+    def run(net_params, motion_params, motion_mode, sspec, x, t_ids,
+            flags=None):
         ids = jnp.broadcast_to(t_ids[:, None], (N, S)).reshape(1, M)
+        # custom_vjp call: positional args only (no kwargs support)
         rgb, sig = field_planar_trainable(net_params, motion_params,
                                           x.reshape(3, M), ids, dir_b,
-                                          sspec, motion_mode,
-                                          spec.compute_dtype)
+                                          flags, sspec, motion_mode,
+                                          spec.compute_dtype, False, TILE)
         return rgb.reshape(3, N, S), sig.reshape(N, S)
 
     bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
@@ -453,9 +472,11 @@ def _eval_fields_trainable_fused(params: dict, spec: LayeredSpec,
             m_i = (jax.tree.map(lambda x: x[i], params["motion"])
                    if layer_motion else None)
 
-            def eval_layer(operands, p_i=p_i, m_i=m_i):
+            flags_i = tile_flags(None if ray_hit is None else ray_hit[i + 1])
+
+            def eval_layer(operands, p_i=p_i, m_i=m_i, flags_i=flags_i):
                 x, t_ids = operands
-                return run(p_i, m_i, layer_motion, sn_l, x, t_ids)
+                return run(p_i, m_i, layer_motion, sn_l, x, t_ids, flags_i)
 
             def skip_layer(operands):
                 return (jnp.zeros((3, N, S), jnp.float32),
@@ -539,18 +560,21 @@ def _eval_fields_trainable(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
 
 def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
                  dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool,
-                 active=None):
+                 active=None, ray_hit=None):
     """Evaluate background + stacked performer fields.
 
     Planar layout: xyz (L+1, 3, N, S) canonical-space samples, dirs_p (3, N),
     frame_ids (N, L+1). Returns rgb (L+1, 3, N, S), sigma (L+1, N, S).
+    ``ray_hit`` ((L+1, N) bool, optional): per-ray bbox hits — the
+    trainable-fused path turns them into per-tile kernel skip flags.
     """
     if _use_fused_kernel(spec):
         return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine,
                                   active=active)
     if _use_trainable_fused(spec):
         return _eval_fields_trainable_fused(params, spec, xyz, dirs_p,
-                                            frame_ids, fine, active=active)
+                                            frame_ids, fine, active=active,
+                                            ray_hit=ray_hit)
     if _use_trainable_kernel(spec):
         return _eval_fields_trainable(params, spec, xyz, dirs_p, frame_ids,
                                       fine, active=active)
@@ -727,7 +751,7 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     # layer is visible — hidden or fully-missed fields cost nothing
     active = jnp.any(hit, axis=1) & (edits.visible > 0)
     rgb_c, sig_c = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids,
-                                fine=False, active=active)
+                                fine=False, active=active, ray_hit=hit)
     sig_c = _mask_sigma_coarse(spec, sig_c, t_c, hit, edits)
 
     per_layer_c = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
@@ -758,6 +782,7 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     if not in_kernel_deform:
         xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids, inputs.cam_ids)
     rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids,
+                                ray_hit=hit,
                                 fine=True, active=active)
     sig_f = _mask_sigma_fine(spec, sig_f, hit, edits)
 

@@ -271,8 +271,9 @@ class TestFieldVjp:
             return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
 
         def loss_k(sp, mp, x, de):
-            rgb, sig = field_planar_trainable(sp, mp, x, ids, de, sspec,
-                                              mode, "float32", True, 128)
+            rgb, sig = field_planar_trainable(sp, mp, x, ids, de, None,
+                                              sspec, mode, "float32", True,
+                                              128)
             return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig)
 
         argnums = (0, 1, 2, 3) if mode else (0, 2, 3)
@@ -289,6 +290,62 @@ class TestFieldVjp:
             scale = max(1e-3, float(jnp.max(jnp.abs(b))))
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-3 * scale)
+
+
+class TestTileSkipFlags:
+    def test_flags_skip_matches_masked_full_run(self):
+        """Per-tile skip flags: a 0 tile must produce zero outputs and
+        contribute zero gradients; with cotangents zeroed on skipped samples
+        (exactly what the downstream hit-mask induces), values and ALL
+        gradients must equal the unflagged kernel."""
+        import numpy as np
+
+        from stnerf_tpu.kernels.field_vjp import field_planar_trainable
+        from stnerf_tpu.models.spacenet import SpaceNetSpec, init_spacenet
+        from stnerf_tpu.models.motionnet import MotionNetSpec, init_motionnet
+        from stnerf_tpu.ops.encoding import positional_encoding_planar as pep
+
+        rng = np.random.default_rng(5)
+        m, tile = 256, 128
+        sspec = SpaceNetSpec(use_dir=True, use_time=True, deep_rgb=False,
+                             include_input=True, backbone_dim=32, head_dim=16)
+        mspec = MotionNetSpec(c_input=4, include_input=True, width=16,
+                              input_time=True)
+        sparams = init_spacenet(jax.random.PRNGKey(0), sspec)
+        mparams = init_motionnet(jax.random.PRNGKey(1), mspec)
+        xyz = jnp.array(rng.normal(size=(3, m)).astype(np.float32))
+        ids = jnp.array(rng.integers(1, 3, size=(1, m)).astype(np.float32))
+        dir_enc = pep(jnp.array(rng.normal(size=(3, m)).astype(np.float32)),
+                      sspec.dir_freqs, True)
+        # cotangents zero on the second (skipped) tile
+        mask = np.zeros((m,), np.float32)
+        mask[:tile] = 1.0
+        c_rgb = jnp.array(rng.normal(size=(3, m)).astype(np.float32) * mask)
+        c_sig = jnp.array(rng.normal(size=(m,)).astype(np.float32) * mask)
+        flags = jnp.array([1, 0], jnp.int32)
+
+        def loss(sp, mp, x, de, fl):
+            rgb, sig = field_planar_trainable(sp, mp, x, ids, de, fl,
+                                              sspec, "lerp", "float32",
+                                              True, tile)
+            return jnp.sum(rgb * c_rgb) + jnp.sum(sig * c_sig), (rgb, sig)
+
+        (v_f, (rgb_f, sig_f)), g_f = jax.value_and_grad(
+            loss, (0, 1, 2, 3), has_aux=True)(sparams, mparams, xyz,
+                                              dir_enc, flags)
+        (v_n, (rgb_n, sig_n)), g_n = jax.value_and_grad(
+            loss, (0, 1, 2, 3), has_aux=True)(sparams, mparams, xyz,
+                                              dir_enc, None)
+
+        # skipped tile outputs are exact zeros; kept tile matches
+        np.testing.assert_array_equal(np.asarray(rgb_f[:, tile:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(sig_f[tile:]), 0.0)
+        np.testing.assert_allclose(np.asarray(rgb_f[:, :tile]),
+                                   np.asarray(rgb_n[:, :tile]), rtol=1e-6)
+        np.testing.assert_allclose(float(v_f), float(v_n), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_n)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
 
 
 class TestPoseRefinementTrainableKernel:
