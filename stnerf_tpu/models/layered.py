@@ -327,7 +327,7 @@ def _use_fused_kernel(spec: LayeredSpec) -> bool:
 
 def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
                        dirs_p: jnp.ndarray, frame_ids: jnp.ndarray, fine: bool,
-                       active=None):
+                       active=None, ray_hit=None):
     """Fully-fused field evaluation (kernels.fused_field): the per-layer
     MotionNet displacement, all positional encodings and the SpaceNet run in
     one VMEM-resident Pallas kernel per field. xyz here is *pre-deformation*
@@ -335,9 +335,12 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
 
     ``active`` ((L+1,) bool or None): chunk-level skip — a performer field
     whose bbox no ray in this chunk hits (or that is hidden) is skipped with
-    ``lax.cond``, returning zeros. Image chunks are spatially coherent, so
-    whole bands skip whole performers — the TPU-legal analogue of the
-    reference's per-ray boolean indexing (ref: layered_rfrender.py:400-413).
+    ``lax.cond``, returning zeros. ``ray_hit`` ((L+1, N) bool or None)
+    refines that to per-KERNEL-TILE skip flags (~8-21 rays per tile): image
+    chunks are spatially coherent tile-ordered rays, so a chunk that
+    partially overlaps a performer only pays for the rays that can see it.
+    Together these are the TPU-legal analogue of the reference's per-ray
+    boolean indexing (ref: layered_rfrender.py:400-413).
     """
     from ..kernels.fused_field import fused_field, prepare_motion_params_planar
     from ..kernels.fused_spacenet import prepare_kernel_params_planar
@@ -358,14 +361,27 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
         # matches prepare_kernel_params_planar's (1, W) dummy r1b operand
         dir_b = jnp.zeros((1, M), dt)
 
-    def run(net_params, motion_params, motion_mode, sspec, x, t_ids):
+    TILE = 2048  # fused_field's default inference tile
+    mp_pad = -(-M // TILE) * TILE
+
+    def tile_flags(hit_l):
+        if hit_l is None:
+            return None
+        hs = jnp.broadcast_to(hit_l[:, None], (N, S)).reshape(-1)
+        if mp_pad != M:
+            hs = jnp.concatenate([hs, jnp.zeros((mp_pad - M,), bool)])
+        return jnp.any(hs.reshape(-1, TILE), axis=-1).astype(jnp.int32)
+
+    def run(net_params, motion_params, motion_mode, sspec, x, t_ids,
+            flags=None):
         kp = prepare_kernel_params_planar(net_params, sspec, dt)
         mp = (prepare_motion_params_planar(motion_params, dt)
               if motion_mode else ())
         ids = jnp.broadcast_to(t_ids[:, None], (N, S)).reshape(1, M)
         rgb, sig = fused_field(kp, mp, sspec, x.reshape(3, M), ids, dir_b,
                                motion_mode=motion_mode,
-                               compute_dtype=spec.compute_dtype)
+                               compute_dtype=spec.compute_dtype,
+                               tile=TILE, tile_flags=flags)
         return rgb.reshape(3, N, S), sig.reshape(N, S)
 
     bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
@@ -385,9 +401,11 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
             m_i = (jax.tree.map(lambda x: x[i], params["motion"])
                    if layer_motion else None)
 
-            def eval_layer(operands):
+            flags_i = tile_flags(None if ray_hit is None else ray_hit[i + 1])
+
+            def eval_layer(operands, p_i=p_i, m_i=m_i, flags_i=flags_i):
                 x, t_ids = operands
-                return run(p_i, m_i, layer_motion, sn_l, x, t_ids)
+                return run(p_i, m_i, layer_motion, sn_l, x, t_ids, flags_i)
 
             def skip_layer(operands):
                 return (jnp.zeros((3, N, S), jnp.float32),
@@ -570,7 +588,7 @@ def _eval_fields(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
     """
     if _use_fused_kernel(spec):
         return _eval_fields_fused(params, spec, xyz, dirs_p, frame_ids, fine,
-                                  active=active)
+                                  active=active, ray_hit=ray_hit)
     if _use_trainable_fused(spec):
         return _eval_fields_trainable_fused(params, spec, xyz, dirs_p,
                                             frame_ids, fine, active=active,
