@@ -170,10 +170,13 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
     lane-dimension gathers — ~10x the forward cost on TPU (measured 2.4 ms
     fwd vs 23.7 ms fwd+bwd at L=3, N=2000, S=120). Here the depths are
     stop-gradient (as in training: ref trainer detaches sample positions),
-    so every comparison, count and one-hot is a constant, and gradients flow
-    only through per-layer cumprods and one-hot *matmuls*. Ties across
-    layers follow the stable concat order except between equal depths with
-    nonzero density (measure-zero under jittered sampling).
+    so every depth comparison is a constant, and the cross-layer
+    transmittance is an exp of cube-masked log-factor sums — per (a, b)
+    pair one (N,S,S)x(N,S) batched matmul whose backward is the transposed
+    matmul (MXU both ways; an earlier one-hot-gather-of-cumprod form was
+    HBM-bound on its (N, S, S+1) one-hot cubes). Ties across layers follow
+    the stable concat order except between equal depths with nonzero
+    density (measure-zero under jittered sampling).
 
     t: (L, N, S) per-layer ascending depths (treated as constants);
     rgb: (L, 3, N, S) raw; sigma: (L, N, S) raw. ``weights`` in the result
@@ -185,15 +188,17 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
     t_next_own = jnp.concatenate([t[:, :, 1:], jnp.full((L, N, 1), inf)], -1)
 
     # Constant per-pair quantities, one (N, S_a, S_b) cube live at a time.
+    # The cube is kept (f32 0/1) per pair: it is both the successor mask
+    # and the cross-layer transmittance contraction operand below.
     nxt = [t_next_own[b] for b in range(L)]      # per-layer merged successor
-    cnt = [[None] * L for _ in range(L)]         # cnt[a][b]: # of a's preceding b's samples
+    cubes = [[None] * L for _ in range(L)]       # cube[a][b]: a's sample precedes b's
     for a in range(L):
         for b in range(L):
             if a == b:
                 continue
             cube = t[a][:, :, None] <= t[b][:, None, :] if a < b else \
                    t[a][:, :, None] < t[b][:, None, :]   # (N, S_a, S_b)
-            cnt[a][b] = jnp.sum(cube, axis=1).astype(jnp.int32)  # (N, S_b)
+            cubes[a][b] = cube.astype(jnp.float32)
             # successor candidate from layer a at b's samples: min of a's
             # depths strictly/weakly after (stable order: > for a<b would
             # skip a's own equal value, but equal values of a precede b when
@@ -209,23 +214,25 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
     f = 1.0 - alpha + 1e-10
-    # P[l, :, m] = product of layer l's first m factors (P[:, :, 0] = 1)
-    P = jnp.concatenate([jnp.ones((L, N, 1), f.dtype),
-                         _cumprod_bounded(f)], axis=-1)      # (L, N, S+1)
-
-    own_excl = P[:, :, :S]
-    T = []
-    for b in range(L):
-        Tb = own_excl[b]
-        for a in range(L):
+    # Log-space transmittance: the merged exclusive transmittance at b's
+    # sample s factorizes into per-layer products of the factors of samples
+    # preceding it — i.e. exp of a cube-masked SUM of log factors. The
+    # cross-layer contraction is one (N,S,S)x(N,S) batched matmul per pair
+    # (MXU, transposed matmul backward) — replacing the (N, S, S+1) one-hot
+    # gather cubes of cumprod values, whose HBM traffic dominated the
+    # compositor. The max() guards the epsilon XLA const-folds away (see
+    # _cumprod_bounded): saturated factors reach here as exact zeros and
+    # log would give -inf (0 * -inf = NaN in the backward).
+    logf = jnp.log(jnp.maximum(f, 1e-10))                    # (L, N, S)
+    excl = jnp.concatenate([jnp.zeros((L, N, 1), logf.dtype),
+                            jnp.cumsum(logf, axis=-1)[..., :-1]], axis=-1)
+    logT = [excl[b] for b in range(L)]
+    for a in range(L):
+        for b in range(L):
             if a == b:
                 continue
-            # gather P[a] at constant counts via a one-hot matmul: the
-            # backward is the transposed matmul, not a lane scatter
-            oh = jax.nn.one_hot(cnt[a][b], S + 1, dtype=f.dtype)  # (N, S, S+1)
-            Tb = Tb * jnp.einsum("nsm,nm->ns", oh, P[a])
-        T.append(Tb)
-    T = jnp.stack(T)
+            logT[b] = logT[b] + jnp.einsum("njs,nj->ns", cubes[a][b], logf[a])
+    T = jnp.exp(jnp.stack(logT))
 
     w = alpha * T                                             # (L, N, S)
     color = jnp.einsum("lns,lcns->nc", w, jax.nn.sigmoid(rgb))
