@@ -269,8 +269,16 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
         if fold_axis:  # distinct shard-local permutation & sample jitter
             didx = jax.lax.axis_index(DATA_AXIS)
             pkey = jax.random.fold_in(pkey, didx)
-        order = jax.random.permutation(pkey, n_pool)[:steps * batch_size]
-        order = order.reshape(steps, batch_size)
+        draw = steps * batch_size
+        if draw * 4 < n_pool:
+            # Drawing a small fraction of a big pool: index sampling (with
+            # replacement) — a full permutation sorts n_pool keys PER
+            # SEGMENT, which at a 164M-ray capture pool costs minutes per
+            # epoch for no statistical benefit.
+            order = jax.random.randint(pkey, (steps, batch_size), 0, n_pool)
+        else:
+            order = jax.random.permutation(pkey, n_pool)[:draw]
+            order = order.reshape(steps, batch_size)
 
         def body(carry, idx):
             params, opt_state, key = carry
