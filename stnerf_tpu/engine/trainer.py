@@ -270,11 +270,12 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
             didx = jax.lax.axis_index(DATA_AXIS)
             pkey = jax.random.fold_in(pkey, didx)
         draw = steps * batch_size
-        if draw * 4 < n_pool:
-            # Drawing a small fraction of a big pool: index sampling (with
-            # replacement) — a full permutation sorts n_pool keys PER
-            # SEGMENT, which at a 164M-ray capture pool costs minutes per
-            # epoch for no statistical benefit.
+        if draw * 4 < n_pool or draw > n_pool:
+            # Index sampling (with replacement): for big pools a full
+            # permutation sorts n_pool keys PER SEGMENT (minutes per epoch
+            # at a 164M-ray capture pool) for no statistical benefit; and
+            # a draw larger than the pool cannot be covered by a
+            # permutation at all.
             order = jax.random.randint(pkey, (steps, batch_size), 0, n_pool)
         else:
             order = jax.random.permutation(pkey, n_pool)[:draw]
