@@ -15,24 +15,45 @@ _LIB = None
 _SEARCHED = False
 
 
+def _src_hash(src: str) -> str:
+    import hashlib
+
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _maybe_build(native_dir: str) -> None:
     """Compile the library from source on first use (the binary is not
-    checked in — it cannot be reviewed and drifts from the source). Build
-    failures are non-fatal: every caller has a NumPy fallback."""
+    checked in — it cannot be reviewed and drifts from the source). A
+    ``.srchash`` sidecar records the sha256 of the source the binary was
+    built from; ``_load`` refuses binaries whose sidecar does not match the
+    current source. Build failures are non-fatal: every caller has a
+    NumPy fallback."""
     import subprocess
 
     src = os.path.join(native_dir, "stnerf_host.cpp")
     out = os.path.join(native_dir, "libstnerf_host.so")
     if not os.path.exists(src) or os.environ.get("STNERF_NO_BUILD"):
         return
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    h = _src_hash(src)
+    if os.path.exists(out) and _stored_hash(out) == h:
         return
     try:
         subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-shared",
                         "-std=c++17", "-o", out, src],
                        check=True, capture_output=True, timeout=300)
+        with open(out + ".srchash", "w") as f:
+            f.write(h)
     except Exception:
         pass
+
+
+def _stored_hash(lib_path: str) -> str | None:
+    try:
+        with open(lib_path + ".srchash") as f:
+            return f.read().strip()
+    except OSError:
+        return None
 
 
 def _load():
@@ -41,18 +62,27 @@ def _load():
         return _LIB
     _SEARCHED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    _maybe_build(os.path.join(here, "native"))
+    native_dir = os.path.join(here, "native")
+    _maybe_build(native_dir)
+    src = os.path.join(native_dir, "stnerf_host.cpp")
+    want = _src_hash(src) if os.path.exists(src) else None
     for cand in (os.environ.get("STNERF_HOST_LIB"),
-                 os.path.join(here, "native", "libstnerf_host.so")):
-        if cand and os.path.exists(cand):
-            try:
-                lib = ctypes.CDLL(cand)
-                if lib.stnerf_abi_version() == 1:
-                    _configure(lib)
-                    _LIB = lib
-                    break
-            except OSError:
-                pass
+                 os.path.join(native_dir, "libstnerf_host.so")):
+        if not cand or not os.path.exists(cand):
+            continue
+        # the repo-local binary must have been built from the current
+        # source (an explicit STNERF_HOST_LIB override is trusted as-is)
+        if (cand != os.environ.get("STNERF_HOST_LIB")
+                and _stored_hash(cand) != want):
+            continue
+        try:
+            lib = ctypes.CDLL(cand)
+            if lib.stnerf_abi_version() == 1:
+                _configure(lib)
+                _LIB = lib
+                break
+        except OSError:
+            pass
     return _LIB
 
 

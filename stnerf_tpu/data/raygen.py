@@ -13,10 +13,14 @@ zero per-step host work.
 
 from __future__ import annotations
 
+import hashlib
+import logging
 import multiprocessing
 import os
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .cameras import pixel_rays_at, project_bbox_roi
 from .scene import FrameLayerScene, corners_from_minmax
@@ -101,10 +105,38 @@ def _append_id_columns(rays, cam_id, frame_id, spec):
     return np.concatenate(cols, 1) if len(cols) > 1 else rays
 
 
+# DATASETS keys that do NOT change ray content: pure paths/labels excluded
+# from the cache fingerprint so relocating data does not invalidate caches.
+_FP_EXCLUDE = {"TRAIN", "TMP_RAYS", "TEST"}
+
+
+def _cfg_fingerprint(cfg, spec=None) -> str:
+    """Short stable hash of every config knob that affects generated rays.
+
+    The cache filenames encode the headline knobs (frames/layers/rate/size);
+    everything else that alters ray selection or content — CAMERA_STEPSIZE,
+    FIXED_LAYER, SCALE, FIXED_NEAR/FAR, FILE_OFFSET, CAMERA_NUM, augmentation
+    ranges, ... — folds into this fingerprint so a changed config can never
+    silently serve a stale pool (round-2 advisor finding).
+
+    ``spec`` adds the model flags that choose the packed f32 ray columns
+    (pose_refinement / deform-view / time ids, _append_id_columns).
+    """
+    items = [(k, cfg.DATASETS[k]) for k in sorted(cfg.DATASETS)
+             if k not in _FP_EXCLUDE]
+    items.append(("SIZE_TRAIN", cfg.INPUT.SIZE_TRAIN))
+    if spec is not None:
+        items.append(("COLS", (spec.pose_refinement, spec.use_deform_view,
+                               spec.use_deform_time or spec.use_space_time)))
+    blob = repr([(k, repr(v)) for k, v in items]).encode()
+    return hashlib.sha1(blob).hexdigest()[:10]
+
+
 def _cache_path(cfg, frame_id: int, layer_id: int,
-                compact: bool = False) -> str:
+                compact: bool = False, spec=None) -> str:
     d = cfg.DATASETS
-    name = "rays_px.npz" if compact else "rays.npz"
+    fp = _cfg_fingerprint(cfg, spec if not compact else None)
+    name = f"rays_px_{fp}.npz" if compact else f"rays_{fp}.npz"
     return os.path.join(d.TRAIN, d.TMP_RAYS, f"frame{frame_id}",
                         f"layer{layer_id}", name)
 
@@ -128,7 +160,7 @@ def generate_frame_layer_rays(cfg, spec, transform, frame_id: int,
     from (cam, pix) + per-camera tables (build_ray_pool / make_decode).
     """
     d = cfg.DATASETS
-    cache = _cache_path(cfg, frame_id, layer_id, compact)
+    cache = _cache_path(cfg, frame_id, layer_id, compact, spec)
     cache_dir = os.path.dirname(cache)
     if compact:
         empty = {"cams": np.zeros((0,), np.uint16),
@@ -231,7 +263,8 @@ def prefill_ray_caches(cfg, spec, workers: int = 1, seed: int = 0,
             rate, use_label = _layer_rate(d, layer_id)
             if rate == 0.0:
                 continue
-            if os.path.exists(_cache_path(cfg, frame_id, layer_id, compact)) \
+            if os.path.exists(_cache_path(cfg, frame_id, layer_id, compact,
+                                          spec)) \
                     and not cfg.clean_ray:
                 continue
             tasks.append((cfg, spec, frame_id, layer_id, use_label, rate,
@@ -296,20 +329,40 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
     # scale on this class of host)
     cap = getattr(d, "MAX_POOL_RAYS", 0)
     fmt = "px" if compact else "f32"
+    # the fingerprint covers every remaining DATASETS/INPUT (and, for the
+    # f32 format, ray-column) knob so a config change can never silently
+    # serve a stale assembled pool or stale camera tables
+    fp = _cfg_fingerprint(cfg, spec if not compact else None)
     bundle_file = os.path.join(
         d.TRAIN, d.TMP_RAYS,
         f"pool_F{d.FRAME_NUM}_O{d.FRAME_OFFSET}_L{d.LAYER_NUM}"
         f"_r{d.BKGD_SAMPLE_RATE:g}_u{int(d.USE_LABEL)}"
         f"_w{cfg.INPUT.SIZE_TRAIN[0]}x{cfg.INPUT.SIZE_TRAIN[1]}"
-        f"_cap{cap}_{fmt}.npz")
+        f"_cap{cap}_{fmt}_{fp}.npz")
     boxes_file = bundle_file.replace(".npz", "_boxes.npy")
     if (os.path.exists(bundle_file) and os.path.exists(boxes_file)
             and not cfg.clean_ray):
+        logger.info("loading consolidated pool bundle %s", bundle_file)
         with np.load(bundle_file) as z:
             return {k: z[k] for k in z.files}, np.load(boxes_file)
+    logger.info("assembling pool bundle -> %s", bundle_file)
 
     if workers > 1:
-        prefill_ray_caches(cfg, spec, workers=workers, compact=compact)
+        # workers rebuild the transform from cfg (_prefill_task); a custom
+        # transform with different geometry would populate the caches the
+        # serial assembly pass below then reads with DIFFERENT pixels —
+        # refuse the fan-out rather than mix transforms (round-2 advisor)
+        ref = JointTransform((cfg.INPUT.SIZE_TRAIN[1], cfg.INPUT.SIZE_TRAIN[0]),
+                             d.SHIFT, d.MAXRATION, d.ROTATION)
+        same = all(getattr(transform, a, None) == getattr(ref, a)
+                   for a in ("size", "random_range", "random_ratio",
+                             "random_rotation"))
+        if same:
+            prefill_ray_caches(cfg, spec, workers=workers, compact=compact)
+        else:
+            logger.warning("build_ray_pool: custom transform differs from the "
+                           "cfg-derived one; pregenerating serially so every "
+                           "cache uses the caller's transform")
 
     frames = range(1 + d.FRAME_OFFSET, d.FRAME_OFFSET + d.FRAME_NUM + 1)
     boxes = np.zeros((d.FRAME_NUM + d.FRAME_OFFSET, d.LAYER_NUM, 2, 3), np.float32)

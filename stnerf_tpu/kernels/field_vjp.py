@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -297,9 +298,14 @@ def _vjp_bwd(spec, motion_mode, compute_dtype, interpret, tile, residuals,
         compute_dtype, interpret, tile, tile_flags=tile_flags)
     d_space = _unflatten_grads(s_flat, space_params, spec)
     d_motion = _unflatten_motion_grads(m_flat) if motion_mode else None
+    # integer primals take float0 cotangents (jnp.zeros_like(int32) only
+    # passed on older jax because the unused cotangent wasn't type-checked)
+    flags_ct = (None if tile_flags is None
+                else np.zeros(tile_flags.shape, jax.dtypes.float0))
     return (d_space, d_motion, d_xyz.astype(xyz.dtype),
-            jnp.zeros_like(ids), d_dir.astype(dir_enc.dtype),
-            None if tile_flags is None else jnp.zeros_like(tile_flags))
+            np.zeros(ids.shape, jax.dtypes.float0)
+            if jnp.issubdtype(ids.dtype, jnp.integer) else jnp.zeros_like(ids),
+            d_dir.astype(dir_enc.dtype), flags_ct)
 
 
 field_planar_trainable.defvjp(_vjp_fwd, _vjp_bwd)

@@ -34,6 +34,11 @@ class LayeredNeuralRenderer:
     def __init__(self, cfg, scale=None, shift=None, rotation=None,
                  s_shift=None, s_scale=None, s_alpha=None, params=None,
                  mesh=None):
+        """``rotation`` is accepted for drop-in ctor parity with the
+        reference renderer but is IGNORED — the reference stores it and
+        never applies it either (ref: render/layered_neural_renderer.py:36);
+        a per-layer rotation edit does not exist in either implementation.
+        """
         self.cfg = cfg
         self.logger = setup_logger("stnerf_tpu.render")
         self.scale = scale

@@ -257,3 +257,37 @@ class TestRaycastConsistency:
                 rgb, label, _ = raycast(np.array([eye], np.float32), d[None],
                                         frame, 2, 2)
                 assert label[0] == 1
+
+
+def test_cache_fingerprint_invalidates_on_knob_change():
+    """Round-2 advisor: the pool-bundle cache must not survive changes to
+    DATASETS knobs that alter ray content (CAMERA_STEPSIZE, SCALE, ...)."""
+    from stnerf_tpu.config import get_cfg
+    from stnerf_tpu.data.raygen import _cache_path, _cfg_fingerprint
+
+    base = get_cfg()
+    base.DATASETS.TRAIN = "/tmp/somewhere"
+    f0 = _cfg_fingerprint(base)
+
+    moved = get_cfg()
+    moved.DATASETS.TRAIN = "/tmp/elsewhere"   # pure path: same fingerprint
+    assert _cfg_fingerprint(moved) == f0
+
+    for knob, val in [("CAMERA_STEPSIZE", 2), ("SCALE", 0.5),
+                      ("FIXED_NEAR", 1.0), ("FIXED_FAR", 9.0),
+                      ("FILE_OFFSET", 3), ("CAMERA_NUM", 7),
+                      ("FIXED_LAYER", [1]), ("SHIFT", 5.0)]:
+        cfg = get_cfg()
+        cfg.DATASETS[knob] = val
+        assert _cfg_fingerprint(cfg) != f0, knob
+        assert _cache_path(cfg, 1, 0) != _cache_path(base, 1, 0), knob
+
+    # SIZE_TRAIN folds in too
+    cfg = get_cfg()
+    cfg.INPUT.SIZE_TRAIN = [123, 77]
+    assert _cfg_fingerprint(cfg) != f0
+
+    # f32 pools also depend on the ray id columns the model flags choose
+    spec_a = LayeredSpec(layer_num=1, pose_refinement=False)
+    spec_b = LayeredSpec(layer_num=1, pose_refinement=True)
+    assert (_cfg_fingerprint(base, spec_a) != _cfg_fingerprint(base, spec_b))
