@@ -113,6 +113,18 @@ _C.SOLVER.COARSE_STAGE = 10
 _C.SOLVER.IMS_PER_BATCH = 16
 _C.SOLVER.BBOX_ID = 0
 
+# --- TPU-native extensions (not in reference schema) ---
+# Parameter groups (top-level param-pytree keys, e.g. "bkgd_coarse",
+# "layers_fine", "motion", "cam_pose") that receive zero updates — the
+# config-level surface for the reference's frozen/active optimizer groups
+# (ref: solver/build.py:20-22, which takes the lists programmatically).
+_C.SOLVER.FROZEN_GROUPS = []
+# Mid-epoch validation period in steps (0 = per-epoch only). The reference
+# hardcodes a 1000-step validation render (ref: engine/layered_trainer.py:
+# 308-309); here validation fires at the first scan-segment boundary past
+# each period multiple (segments are TPU.EPOCH_SEGMENT_STEPS long).
+_C.SOLVER.VAL_PERIOD = 1000
+
 _C.TEST = CN()
 _C.TEST.IMS_PER_BATCH = 8
 _C.TEST.WEIGHT = ""
@@ -148,8 +160,18 @@ _C.TPU.USE_PALLAS = True
 # Pallas passes, kernels/spacenet_vjp.py) in training. Ignored when
 # POSE_REFINEMENT is on (that path needs direction-encoding gradients).
 _C.TPU.TRAINABLE_KERNEL = True
-# Rematerialize MLP activations in the training backward pass.
-_C.TPU.REMAT = True
+# Opacity-driven fast fine stage for RENDERING (inference-only approximation;
+# the trainer always forces the exact path). The fine networks are evaluated
+# only at the FINE_RAY_SAMPLING new importance samples — the coarse sample
+# positions reuse the coarse networks' outputs — and a performer whose
+# coarse opacity on a ray is ~0 (< FAST_FINE_EPS) skips its fine kernel for
+# that ray. Exact when fine nets equal coarse nets (fresh init or
+# SAME_SPACENET); at convergence coarse/fine agree closely (PSNR vs the
+# exact path recorded in RESULTS.md). Default False: the exact reference
+# fine semantics (full union re-evaluation through the fine nets,
+# ref: modeling/layered_rfrender.py:481-606) stay the golden path.
+_C.TPU.FAST_FINE = False
+_C.TPU.FAST_FINE_EPS = 1e-3
 
 
 def get_cfg() -> CN:

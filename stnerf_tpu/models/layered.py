@@ -51,7 +51,7 @@ from ..ops.sampling import (ray_aabb_intersect, sample_pdf,
                             stratified_between, stratified_near_far)
 from ..ops.volume import (composite_merged_nosort,
                           merge_layers_planar, sort_merge_t,
-                          volume_render_planar)
+                          sort_samples_planar, volume_render_planar)
 from .camera import apply_camera_transform, init_camera_transform
 from .motionnet import MotionNetSpec, apply_motionnet_planar, init_motionnet
 from .spacenet import SpaceNetSpec, apply_spacenet_planar, init_spacenet
@@ -91,6 +91,15 @@ class LayeredSpec:
     # cross-layer lax.sort's VJP is ~10x its forward on TPU (inverse-
     # permutation lane gathers), so training swaps in the factorized-
     # transmittance equivalent (ops.volume.composite_merged_nosort)
+    fast_fine: bool = False            # opacity-driven fast fine stage
+    # (inference-only approximation; the trainer forces it off): fine nets
+    # evaluate ONLY the S2 new importance samples — coarse positions reuse
+    # the coarse nets' outputs — and a performer with ~zero coarse opacity
+    # on a ray skips its fine kernel there. Exact when fine nets equal
+    # coarse nets; the golden path keeps the reference's full union
+    # re-evaluation (ref: modeling/layered_rfrender.py:481-606).
+    fine_skip_eps: float = 1e-3        # coarse-opacity cutoff for the
+    # per-ray performer fine skip (only read when fast_fine)
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -119,6 +128,8 @@ class LayeredSpec:
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             use_pallas=cfg.TPU.USE_PALLAS,
             trainable_kernel=cfg.TPU.TRAINABLE_KERNEL,
+            fast_fine=cfg.TPU.FAST_FINE,
+            fine_skip_eps=float(cfg.TPU.FAST_FINE_EPS),
         )
 
     def spacenet_spec(self, bkgd: bool) -> SpaceNetSpec:
@@ -768,9 +779,9 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     # chunk-level skip predicate: any ray hits the (edited) bbox and the
     # layer is visible — hidden or fully-missed fields cost nothing
     active = jnp.any(hit, axis=1) & (edits.visible > 0)
-    rgb_c, sig_c = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids,
-                                fine=False, active=active, ray_hit=hit)
-    sig_c = _mask_sigma_coarse(spec, sig_c, t_c, hit, edits)
+    rgb_c, sig_c_raw = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids,
+                                    fine=False, active=active, ray_hit=hit)
+    sig_c = _mask_sigma_coarse(spec, sig_c_raw, t_c, hit, edits)
 
     per_layer_c = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
                            )(t_c, rgb_c, sig_c)
@@ -790,19 +801,55 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     # (L+1)*N rows beats L+1 separate dispatches)
     w_c = per_layer_c.weights[..., 0]  # (L+1, N, S1)
     t_flat = t_c.reshape(lp1 * N, S1)
-    z_new = sample_pdf(t_flat, w_c[:, :, 1:-1].reshape(lp1 * N, S1 - 2),
-                       S2, key_f)
-    t_f = sort_merge_t(t_flat, jax.lax.stop_gradient(z_new))
-    t_f = t_f.reshape(lp1, N, S1 + S2)
+    z_new = jax.lax.stop_gradient(
+        sample_pdf(t_flat, w_c[:, :, 1:-1].reshape(lp1 * N, S1 - 2),
+                   S2, key_f))
 
-    xyz_f = o_p[None, :, :, None] + t_f[:, None, :, :] * d_p[None, :, :, None]
-    xyz_f = _inverse_edit_points(xyz_f, edits)
-    if not in_kernel_deform:
-        xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids, inputs.cam_ids)
-    rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids,
-                                ray_hit=hit,
-                                fine=True, active=active)
-    sig_f = _mask_sigma_fine(spec, sig_f, hit, edits)
+    if spec.fast_fine:
+        # Opacity-driven fast fine (inference-only approximation, see the
+        # LayeredSpec docstring): the fine nets evaluate ONLY the S2 new
+        # importance samples — the S1 coarse positions carry the coarse
+        # nets' raw outputs — and a performer whose coarse pass produced
+        # ~no opacity on a ray (acc <= eps, so its contribution to the
+        # pixel is <= eps) skips its fine kernel for that ray via the
+        # per-tile flag machinery. The reference instead re-evaluates all
+        # S1+S2 union positions through the fine nets
+        # (ref: modeling/layered_rfrender.py:481-606); that exact
+        # semantics stays the golden path in the else-branch below.
+        t_n = z_new.reshape(lp1, N, S2)
+        xyz_n = o_p[None, :, :, None] + t_n[:, None, :, :] * d_p[None, :, :, None]
+        xyz_n = _inverse_edit_points(xyz_n, edits)
+        if not in_kernel_deform:
+            xyz_n = _deform(params, spec, xyz_n, inputs.frame_ids,
+                            inputs.cam_ids)
+        opac = per_layer_c.acc[..., 0]                       # (L+1, N)
+        keep = hit & (opac > spec.fine_skip_eps)
+        keep = keep.at[0].set(hit[0])  # background: opacity ~1, never skip
+        active_f = jnp.any(keep, axis=1) & (edits.visible > 0)
+        rgb_n, sig_n = _eval_fields(params, spec, xyz_n, d_p,
+                                    inputs.frame_ids, fine=True,
+                                    active=active_f, ray_hit=keep)
+        # skipped tiles/rays wrote zeros: zero sigma => zero weight, so the
+        # carried-vs-new mix composites correctly without extra masking
+        t_u = jnp.concatenate([t_c, t_n], -1)                # (L+1, N, S1+S2)
+        rgb_u = jnp.concatenate([rgb_c, rgb_n], -1)
+        sig_u = jnp.concatenate([sig_c_raw, sig_n], -1)
+        sig_u = _mask_sigma_fine(spec, sig_u, hit, edits)  # pointwise per
+        # (layer, ray): commutes with the per-layer depth sort below
+        t_f, rgb_f, sig_f = sort_samples_planar(t_u, rgb_u, sig_u)
+    else:
+        t_f = sort_merge_t(t_flat, z_new)
+        t_f = t_f.reshape(lp1, N, S1 + S2)
+
+        xyz_f = o_p[None, :, :, None] + t_f[:, None, :, :] * d_p[None, :, :, None]
+        xyz_f = _inverse_edit_points(xyz_f, edits)
+        if not in_kernel_deform:
+            xyz_f = _deform(params, spec, xyz_f, inputs.frame_ids,
+                            inputs.cam_ids)
+        rgb_f, sig_f = _eval_fields(params, spec, xyz_f, d_p, inputs.frame_ids,
+                                    ray_hit=hit,
+                                    fine=True, active=active)
+        sig_f = _mask_sigma_fine(spec, sig_f, hit, edits)
 
     per_layer_f = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
                            )(t_f, rgb_f, sig_f)

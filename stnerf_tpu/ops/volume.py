@@ -187,9 +187,13 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
     t = jax.lax.stop_gradient(t)
     t_next_own = jnp.concatenate([t[:, :, 1:], jnp.full((L, N, 1), inf)], -1)
 
-    # Constant per-pair quantities, one (N, S_a, S_b) cube live at a time.
-    # The cube is kept (f32 0/1) per pair: it is both the successor mask
-    # and the cross-layer transmittance contraction operand below.
+    # Constant per-pair precedence cubes (f32 0/1): each is both the
+    # successor mask here and the cross-layer transmittance contraction
+    # operand below. Peak memory: all L*(L-1) cubes are live between the
+    # two loops and persist as backward matmul residuals — L(L-1)*N*S^2*4 B
+    # (~0.35 GB at L=3, N=2000, S=120), quadratic in S. Acceptable at
+    # production batch shapes; revisit (recompute cubes in the second loop
+    # under jax.checkpoint) before growing S past ~200.
     nxt = [t_next_own[b] for b in range(L)]      # per-layer merged successor
     cubes = [[None] * L for _ in range(L)]       # cube[a][b]: a's sample precedes b's
     for a in range(L):
@@ -240,6 +244,21 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
     acc = jnp.sum(w, axis=(0, 2))[:, None]
     weights = jnp.moveaxis(w, 0, 1).reshape(N, L * S)[..., None]
     return RenderedRays(color, depth, acc, weights)
+
+
+def sort_samples_planar(t: jnp.ndarray, rgb: jnp.ndarray, sigma: jnp.ndarray):
+    """Per-ray ascending depth sort carrying the sample payload.
+
+    t: (L, N, S), rgb: (L, 3, N, S), sigma: (L, N, S) -> same shapes with
+    each ray's samples sorted by t along the last axis. One variadic
+    ``lax.sort`` (the payload rides the comparator network — see
+    :func:`merge_layers_planar` for why this beats argsort+gather on TPU).
+    Used by the fast fine render path, which concatenates unevaluated-order
+    coarse-carried and importance samples before compositing.
+    """
+    t_s, r_s, g_s, b_s, sig_s = jax.lax.sort(
+        (t, rgb[:, 0], rgb[:, 1], rgb[:, 2], sigma), dimension=-1, num_keys=1)
+    return t_s, jnp.stack([r_s, g_s, b_s], axis=1), sig_s
 
 
 def sort_merge_t(t_a: jnp.ndarray, t_b: jnp.ndarray) -> jnp.ndarray:

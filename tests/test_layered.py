@@ -270,3 +270,90 @@ class TestPoseRefinementRayPacking:
         np.testing.assert_allclose(np.asarray(out.rays_d), base[:, 3:6])
         np.testing.assert_array_equal(np.asarray(out.cam_ids), 5.0)
         np.testing.assert_array_equal(np.asarray(out.frame_ids), 2.0)
+
+
+class TestFastFine:
+    """Opacity-driven fast fine render path (TPU.FAST_FINE): the fine nets
+    evaluate only the new importance samples and coarse positions carry the
+    coarse nets' outputs. Exact when fine nets equal coarse nets; the
+    reference's full union re-evaluation (ref: modeling/layered_rfrender.py:
+    481-606) stays the golden path (fast_fine=False, default)."""
+
+    def _shared_net_setup(self):
+        import dataclasses
+
+        spec = dataclasses.replace(SPEC, same_spacenet=True,
+                                   fast_fine=True, fine_skip_eps=0.0)
+        params = init_layered_params(jax.random.PRNGKey(3), spec)
+        # same_spacenet shares performer nets; share the background too so
+        # fast and exact evaluate the *same function* at the same positions
+        params = dict(params, bkgd_fine=params["bkgd_coarse"])
+        return spec, params
+
+    def test_exact_when_fine_nets_equal_coarse_nets(self):
+        import dataclasses
+
+        spec, params = self._shared_net_setup()
+        exact_spec = dataclasses.replace(spec, fast_fine=False)
+        scene, inputs = make_scene(), make_rays()
+        key = jax.random.PRNGKey(7)
+        fast = render(params, spec, scene, inputs, EditState.identity(2), key=key)
+        exact = render(params, exact_spec, scene, inputs,
+                       EditState.identity(2), key=key)
+        np.testing.assert_allclose(np.asarray(fast.fine.color),
+                                   np.asarray(exact.fine.color), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fast.fine.depth),
+                                   np.asarray(exact.fine.depth), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fast.fine_layers.acc),
+                                   np.asarray(exact.fine_layers.acc), atol=1e-5)
+        # the coarse stage is untouched by the flag
+        np.testing.assert_array_equal(np.asarray(fast.coarse.color),
+                                      np.asarray(exact.coarse.color))
+
+    def test_fast_fine_respects_edits_and_ranges(self):
+        import dataclasses
+
+        spec = dataclasses.replace(SPEC, fast_fine=True)
+        params = init_layered_params(jax.random.PRNGKey(0), spec)
+        scene, inputs = make_scene(), make_rays()
+        out = render(params, spec, scene, inputs, EditState.identity(2),
+                     key=jax.random.PRNGKey(1))
+        for leaf in jax.tree.leaves(out):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+        assert float(out.fine.acc.min()) >= 0.0
+        assert float(out.fine.acc.max()) <= 1.0 + 1e-4
+        # hiding a layer still removes it entirely
+        hide = EditState.identity(2)
+        hide = hide._replace(visible=hide.visible.at[1].set(0.0))
+        h = render(params, spec, scene, inputs, hide, key=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(h.fine_layers.acc[1]), 0.0,
+                                   atol=1e-6)
+
+    def test_trainer_forces_exact_path(self):
+        import dataclasses
+
+        from stnerf_tpu.engine import make_optimizer, make_train_step
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+        spec = dataclasses.replace(SPEC, fast_fine=True)
+        step = make_train_step(spec, make_optimizer(cfg))
+        # the captured spec must have fast_fine stripped; cheapest proof is
+        # the closure's spec object itself
+        cells = {c.cell_contents.fast_fine
+                 for c in step.__wrapped__.__closure__ or ()
+                 if isinstance(c.cell_contents, LayeredSpec)}
+        assert cells == {False}
+
+    def test_from_cfg_plumbs_fast_fine(self):
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.TPU.FAST_FINE = True
+        cfg.TPU.FAST_FINE_EPS = 5e-3
+        spec = LayeredSpec.from_cfg(cfg)
+        assert spec.fast_fine and spec.fine_skip_eps == 5e-3
