@@ -58,6 +58,25 @@ def make_warmup_multistep(base_lr: float, milestones, gamma: float = 0.1,
     return schedule
 
 
+def make_frozen_mask(params: dict, frozen_groups) -> dict | None:
+    """Bool mask pytree (prefix) from top-level param-group names.
+
+    ``frozen_groups`` lists keys of the parameter pytree ("bkgd_coarse",
+    "layers_fine", "motion", "cam_pose", ...) whose leaves receive zero
+    updates — the config surface for the reference's frozen/active Adam
+    param groups (ref: solver/build.py:20-22). Returns None when nothing is
+    frozen (no optimizer-state overhead). Unknown names raise: a typo that
+    silently trained a "frozen" net would be worse than a crash."""
+    groups = list(frozen_groups or [])
+    if not groups:
+        return None
+    unknown = [g for g in groups if g not in params]
+    if unknown:
+        raise ValueError(f"unknown frozen param groups {unknown}; "
+                         f"available: {sorted(params)}")
+    return {k: k in groups for k in params}
+
+
 def make_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
     """``frozen_mask``: optional pytree of bools matching the param tree;
     True leaves receive zero updates — the reference's frozen/active param

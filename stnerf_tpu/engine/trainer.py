@@ -197,7 +197,7 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
     spec = dataclasses.replace(spec, use_pallas=False,
-                               nosort_composite=True)
+                               nosort_composite=True, fast_fine=False)
     edits = EditState.identity(spec.layer_num)
 
     @functools.partial(jax.jit, static_argnames=("only_coarse",),
@@ -249,7 +249,7 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
     spec = dataclasses.replace(spec, use_pallas=False,
-                               nosort_composite=True)
+                               nosort_composite=True, fast_fine=False)
     edits = EditState.identity(spec.layer_num)
     # group rays by bbox-hit pattern so the fused kernel's tile-skip flags
     # bite (only the trainable-fused path consumes them)
@@ -389,9 +389,22 @@ def split_compact_bundle(bundle: dict) -> tuple[CompactPool, CamTables, int]:
     return pool, tables, int(bundle["width"])
 
 
+def _call_val(val_fn, params, epoch, step=None):
+    """Invoke a validation callback, passing the mid-epoch global step only
+    when the callback accepts it (custom/test callbacks may not)."""
+    import inspect
+
+    try:
+        takes_step = len(inspect.signature(val_fn).parameters) >= 3
+    except (TypeError, ValueError):
+        takes_step = False
+    return val_fn(params, epoch, step) if takes_step else val_fn(params, epoch)
+
+
 def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
              train_pool: dict, optimizer=None, *, mesh=None,
-             val_fn=None, resume_epoch: int = 0, psnr_thres: float = 100.0,
+             val_fn=None, resume_epoch: int = 0, resume_step: int = 0,
+             opt_state=None, psnr_thres: float = 100.0,
              seed: int = 0, logger: logging.Logger | None = None,
              swriter=None):
     """Training host loop (ref: engine/layered_trainer.py:133-331).
@@ -400,13 +413,21 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
     near_fars}; the whole pool is uploaded once — sharded over ``mesh``'s
     data axis when given — and each epoch runs as one scanned device
     program (see :func:`make_train_epoch`).
-    ``val_fn(params, epoch)`` optionally renders validation images.
+    ``val_fn(params, epoch[, step])`` optionally renders validation images.
+    ``resume_step`` re-enters epoch ``resume_epoch + 1`` with its first
+    ``resume_step`` steps skipped (RNG is position-keyed, so the resumed
+    run draws the exact batches the interrupted one would have); pass the
+    saved ``opt_state`` alongside to make resumption exact.
     """
     logger = logger or logging.getLogger("stnerf_tpu.train")
     s = cfg.SOLVER
     batch_size = s.IMS_PER_BATCH
-    key = jax.random.PRNGKey(seed)
-    opt_state = optimizer.init(params)
+    # position-keyed RNG: the segment key depends only on (seed, epoch,
+    # segment index), never on how many segments actually ran — a killed
+    # run resumed mid-epoch replays the identical batch schedule
+    base_key = jax.random.PRNGKey(seed)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
 
     n_data = 1
     if mesh is not None:
@@ -447,40 +468,75 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
     # a full capture-scale epoch runs for minutes, and long executions can
     # outlive the runtime's patience (observed: TPU worker restarts at
     # ~5 min of one program). Segments pay one ~30 ms metrics readback each.
+    # Ceil-split: full segments plus one short remainder segment (one extra
+    # compile) so no steps are silently dropped from the epoch.
     seg = int(getattr(cfg.TPU, "EPOCH_SEGMENT_STEPS", 0) or 0)
     if seg <= 0 or seg > steps:
         seg = steps
-    n_seg = steps // seg
-    if n_seg * seg != steps:
-        logger.info("epoch trimmed %d -> %d steps (%d segments of %d)",
-                    steps, n_seg * seg, n_seg, seg)
-    steps = n_seg * seg
+    seg_sizes = [seg] * (steps // seg)
+    if steps % seg:
+        seg_sizes.append(steps % seg)
+
+    # In-epoch checkpoint/validation cadence (ref saves every
+    # CHECKPOINT_PERIOD steps and validates every 1000 steps,
+    # engine/layered_trainer.py:308-317), quantized to segment boundaries —
+    # at capture scale an epoch is ~an hour and this environment's TPU
+    # workers can die mid-run; a resumed run then loses one segment, not
+    # the epoch.
+    ckpt_period = int(s.CHECKPOINT_PERIOD or 0)
+    val_period = int(getattr(s, "VAL_PERIOD", 0) or 0)
 
     for epoch in range(1 + resume_epoch, s.MAX_EPOCHS):
         epoch_start = time.time()
         only_coarse = epoch < s.COARSE_STAGE
         mask_on = jnp.asarray(1.0 if epoch < 3 else 0.0)
         seg_metrics = []
-        for _ in range(n_seg):
-            key, ekey = jax.random.split(key)
+        skip = resume_step if epoch == resume_epoch + 1 else 0
+        done = 0          # steps executed or skipped so far this epoch
+        ran = 0           # steps executed this epoch
+        since_ckpt = since_val = 0
+        for seg_i, seg_n in enumerate(seg_sizes):
+            if done + seg_n <= skip:
+                done += seg_n
+                continue
+            ekey = jax.random.fold_in(jax.random.fold_in(base_key, epoch),
+                                      seg_i)
             params, opt_state, m = epoch_fn(params, opt_state, scene, pool,
                                             ekey, mask_on,
                                             batch_size=batch_size,
-                                            steps=seg,
+                                            steps=seg_n,
                                             only_coarse=only_coarse)
             seg_metrics.append(jax.device_get(m))
+            done += seg_n
+            ran += seg_n
+            since_ckpt += seg_n
+            since_val += seg_n
+            last = done >= steps
+            if (ckpt_period and since_ckpt >= ckpt_period and not last
+                    and cfg.OUTPUT_DIR):
+                save_checkpoint(cfg.OUTPUT_DIR, params, opt_state,
+                                epoch, step=done)
+                since_ckpt = 0
+            if val_period and since_val >= val_period and not last \
+                    and val_fn is not None:
+                _call_val(val_fn, params, epoch,
+                          step=(epoch - 1) * steps + done)
+                since_val = 0
+        if not seg_metrics:  # resume_step covered the whole epoch
+            logger.info("Epoch %d already complete at resume; skipping", epoch)
+            continue
         metrics = jax.tree.map(lambda *xs: np.concatenate(xs), *seg_metrics)
         elapsed = time.time() - epoch_start
-        rays_per_s = steps * batch_size / max(elapsed, 1e-9)
+        rays_per_s = ran * batch_size / max(elapsed, 1e-9)
 
-        for i in range(0, steps, max(s.LOG_PERIOD, 1)):
-            global_step = (epoch - 1) * steps + i
+        for i in range(0, ran, max(s.LOG_PERIOD, 1)):
+            global_step = (epoch - 1) * steps + skip + i
             # same line format as the reference
             # (ref: engine/layered_trainer.py:304-306)
             logger.info(
                 "Epoch[%d] Iteration[%d/%d] Loss: %.3e  Psnr coarse: %.2f "
                 "Psnr fine: %.2f Speed: %.1f[rays/s]",
-                epoch, i, steps, float(metrics.loss[i]),
+                epoch, skip + i, steps, float(metrics.loss[i]),
                 float(metrics.psnr_coarse[i]), float(metrics.psnr_fine[i]),
                 rays_per_s)
             if swriter is not None:
@@ -492,7 +548,7 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
         if cfg.OUTPUT_DIR:
             save_checkpoint(cfg.OUTPUT_DIR, params, opt_state, epoch)
         if val_fn is not None:
-            val_fn(params, epoch)
+            _call_val(val_fn, params, epoch)
         logger.info("Epoch %d done. Time: %.3f[s] Speed: %.1f[rays/s]",
                     epoch, elapsed, rays_per_s)
 

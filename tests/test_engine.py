@@ -215,3 +215,123 @@ class TestTrainEpoch:
                 first = float(m.loss[0])
             last = float(m.loss[-1])
         assert last < first * 0.9, (first, last)
+
+
+class TestFrozenGroups:
+    def test_make_frozen_mask_and_step_keeps_frozen_bits(self):
+        # ref: solver/build.py:20-22 (frozen group trains at lr=0)
+        from stnerf_tpu.config import get_cfg
+        from stnerf_tpu.engine import make_frozen_mask
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.BASE_LR = 1e-2
+        cfg.SOLVER.WEIGHT_DECAY = 0.0
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+
+        params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        mask = make_frozen_mask(params, ["bkgd_coarse", "motion"])
+        assert mask["bkgd_coarse"] and mask["motion"]
+        assert not mask["layers_fine"]
+        assert make_frozen_mask(params, []) is None
+        with pytest.raises(ValueError):
+            make_frozen_mask(params, ["no_such_group"])
+
+        optimizer = make_optimizer(cfg, frozen_mask=mask)
+        step = make_train_step(SPEC, optimizer)
+        before = jax.tree.map(np.asarray, params)
+        new_params, _, _ = step(params, optimizer.init(params), make_scene(),
+                                _toy_batch(64), jax.random.PRNGKey(1),
+                                jnp.asarray(0.0), only_coarse=False)
+        after = jax.tree.map(np.asarray, new_params)
+        for grp in ("bkgd_coarse", "motion"):
+            chex = jax.tree.leaves(jax.tree.map(
+                lambda a, b: np.array_equal(a, b), before[grp], after[grp]))
+            assert all(chex), f"frozen group {grp} changed"
+        moved = jax.tree.leaves(jax.tree.map(
+            lambda a, b: not np.array_equal(a, b),
+            before["layers_coarse"], after["layers_coarse"]))
+        assert any(moved), "active group did not train"
+
+
+class TestDoTrain:
+    """Host-loop behavior: ceil-split segments (no dropped steps), in-epoch
+    CHECKPOINT_PERIOD saves (ref: engine/layered_trainer.py:311-317), and
+    bit-exact mid-epoch resume from a killed run."""
+
+    def _cfg(self, out_dir):
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WEIGHT_DECAY = 0.0
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+        cfg.SOLVER.MAX_EPOCHS = 3          # epochs 1..2
+        cfg.SOLVER.IMS_PER_BATCH = 64
+        cfg.SOLVER.COARSE_STAGE = 0
+        cfg.SOLVER.CHECKPOINT_PERIOD = 2
+        cfg.SOLVER.VAL_PERIOD = 2
+        cfg.SOLVER.LOG_PERIOD = 100
+        cfg.MODEL.REMOVE_OUTLIERS = False
+        cfg.TPU.EPOCH_SEGMENT_STEPS = 2    # 5 steps -> segments [2, 2, 1]
+        cfg.OUTPUT_DIR = str(out_dir)
+        return cfg
+
+    def _pool(self, n=320):
+        from stnerf_tpu.models.rays import pack_rays
+
+        batch = _toy_batch(n)
+        return {"rays": np.asarray(pack_rays(batch.inputs, SPEC)),
+                "rgbs": np.asarray(batch.rgb),
+                "labels": np.asarray(batch.labels),
+                "near_fars": np.asarray(batch.inputs.near_far)}
+
+    def test_segments_checkpoints_and_bitexact_resume(self, tmp_path):
+        from stnerf_tpu.config import get_cfg
+        from stnerf_tpu.engine import load_checkpoint
+        from stnerf_tpu.engine.trainer import do_train
+
+        cfg = self._cfg(tmp_path / "a")
+        params0 = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        pool = self._pool()
+        scene = make_scene()
+        val_calls = []
+
+        def val_fn(params, epoch, step=None):
+            val_calls.append((epoch, step))
+
+        optimizer = make_optimizer(cfg)
+        params_a, _ = do_train(cfg, SPEC, jax.tree.map(jnp.copy, params0),
+                               scene, dict(pool), optimizer, val_fn=val_fn,
+                               seed=7)
+        files = sorted(os.listdir(tmp_path / "a"))
+        # ceil-split runs all 5 steps; CHECKPOINT_PERIOD=2 saves at steps 2
+        # and 4 of each epoch plus the per-epoch save
+        for name in ["layered_rfnr_checkpoint_1_2.ckpt",
+                     "layered_rfnr_checkpoint_1_4.ckpt",
+                     "layered_rfnr_checkpoint_1.ckpt",
+                     "layered_rfnr_checkpoint_2_2.ckpt",
+                     "layered_rfnr_checkpoint_2.ckpt"]:
+            assert name in files, (name, files)
+        # mid-epoch validation fired with a global step
+        assert (1, 2) in val_calls and (1, None) in val_calls
+
+        # "kill" after the first mid-epoch save of epoch 1 and resume
+        blob = load_checkpoint(str(tmp_path / "a" /
+                                   "layered_rfnr_checkpoint_1_2.ckpt"))
+        assert blob["epoch"] == 1 and blob["step"] == 2
+        cfg_b = self._cfg(tmp_path / "b")
+        params_b, _ = do_train(cfg_b, SPEC, blob["params"], scene, dict(pool),
+                               make_optimizer(cfg_b),
+                               resume_epoch=blob["epoch"] - 1,
+                               resume_step=blob["step"],
+                               opt_state=blob["opt_state"], seed=7)
+        ok = jax.tree.leaves(jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            params_a, params_b))
+        assert all(ok), "mid-epoch resume diverged from uninterrupted run"

@@ -38,7 +38,7 @@ def main():
 
     from stnerf_tpu.config import get_cfg
     from stnerf_tpu.data import make_train_data, ViewScene
-    from stnerf_tpu.engine import (make_optimizer, do_train,
+    from stnerf_tpu.engine import (make_optimizer, make_frozen_mask, do_train,
                                    latest_checkpoint, load_checkpoint)
     from stnerf_tpu.models import init_layered_params
     from stnerf_tpu.models.io_torch import load_reference_checkpoint
@@ -65,12 +65,18 @@ def main():
     logger.info("ray pool: %d rays%s", n_rays,
                 " (compact pixel format)" if "pix" in pool else "")
 
-    resume_epoch = 0
+    resume_epoch, resume_step, opt_state = 0, 0, None
     ckpt = latest_checkpoint(cfg.OUTPUT_DIR) if args.resume else None
     if ckpt and ckpt.endswith(".ckpt"):
         blob = load_checkpoint(ckpt)
-        params, resume_epoch = blob["params"], blob["epoch"]
-        logger.info("resumed %s (epoch %d)", ckpt, resume_epoch)
+        params, opt_state = blob["params"], blob.get("opt_state")
+        resume_step = int(blob.get("step") or 0)
+        # step > 0: a mid-epoch (per-segment) save — re-enter that epoch
+        # with its first resume_step steps skipped (position-keyed RNG
+        # replays the identical batch schedule)
+        resume_epoch = blob["epoch"] - (1 if resume_step else 0)
+        logger.info("resumed %s (epoch %d, step %d)", ckpt,
+                    blob["epoch"], resume_step)
     elif ckpt:
         params = load_reference_checkpoint(ckpt, spec)
         logger.info("imported reference checkpoint %s", ckpt)
@@ -91,7 +97,14 @@ def main():
     params = shard_params(mesh, params)
     scene = replicate(mesh, scene)
 
-    optimizer = make_optimizer(cfg)
+    frozen_mask = make_frozen_mask(params, cfg.SOLVER.FROZEN_GROUPS)
+    if frozen_mask is not None:
+        logger.info("frozen param groups: %s (receive zero updates)",
+                    list(cfg.SOLVER.FROZEN_GROUPS))
+    optimizer = make_optimizer(cfg, frozen_mask)
+    # a resumed opt_state must match the optimizer structure: changing
+    # FROZEN_GROUPS across a resume adds/removes the masked wrapper state
+    # and fails loudly at the first step (by design)
 
     swriter = None
     if cfg.OUTPUT_DIR:
@@ -111,6 +124,7 @@ def main():
 
     do_train(cfg, spec, params, scene, pool, optimizer, mesh=mesh,
              val_fn=val_fn, resume_epoch=resume_epoch,
+             resume_step=resume_step, opt_state=opt_state,
              psnr_thres=args.psnr_thres, seed=args.seed, logger=logger,
              swriter=swriter)
 
