@@ -1,0 +1,168 @@
+"""Trained-checkpoint parity: A/B a full pose render against the REFERENCE'S
+OWN code (/root/reference, torch CPU) using LEARNED weights.
+
+`tests/test_ref_parity.py` proves the math with random-init weights at 48-ray
+batches; this tool closes the remaining gap (VERDICT r2 "What's missing" #3):
+a trained field stresses regimes random weights don't — saturated densities,
+the 1e-10/exact-zero transmittance edge, threshold edits at real sigma
+scales. The mirror ships no reference checkpoints (.MISSING_LARGE_BLOBS), so
+the A/B runs the other way: OUR trained parameters are exported through the
+reference state-dict layout and loaded into the reference's
+``LayeredRFRender`` (ref: modeling/layered_rfrender.py:19-735,
+render path ref: render/layered_neural_renderer.py:401-488), then both sides
+render the SAME full pose deterministically (tests/ref_harness pins the
+reference's RNG to our ``key=None`` modes) and the tool reports PSNR.
+
+    python tools/ref_parity_trained.py -c configs/config_capture1080.yml \
+        --ckpt outputs/capture1080_full/layered_rfnr_checkpoint_1.ckpt \
+        --width 480 --height 270 --view 0 --frame 1
+
+The torch side runs the full (L+1) x (S1 + S1+S2) MLP evaluation per ray on
+one CPU core, so the pose is rendered at a reduced resolution (default
+480x270 = 129.6k rays; minutes of torch time). Both sides use the exact
+golden path: float32, XLA (no Pallas), deterministic bin-center sampling.
+Results land in the printed JSON line; record them in RESULTS.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config-file", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=270)
+    ap.add_argument("--view", type=int, default=0)
+    ap.add_argument("--frame", type=float, default=1.0)
+    ap.add_argument("--ref-chunk", type=int, default=2048,
+                    help="torch-side forward chunk (memory bound)")
+    ap.add_argument("--save-dir", default="",
+                    help="write ours/ref/diff PNGs here")
+    ap.add_argument("--hide-layer", type=int, default=-1,
+                    help="also A/B with this performer hidden (edit parity)")
+    args = ap.parse_args()
+
+    from stnerf_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stnerf_tpu.config import get_cfg
+    from stnerf_tpu.data.build import RenderScene
+    from stnerf_tpu.data.cameras import pixel_rays
+    from stnerf_tpu.engine.checkpoint import load_checkpoint
+    from stnerf_tpu.models import EditState, RayInputs
+    from stnerf_tpu.models.layered import LayeredSpec
+    from stnerf_tpu.models.rays import pack_rays
+    from stnerf_tpu.render.chunked import render_rays_chunked
+
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config_file)
+    # golden exact path on our side: float32 XLA, reference fine semantics
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.USE_PALLAS = False
+    cfg.TPU.TRAINABLE_KERNEL = False
+    cfg.TPU.FAST_FINE = False
+    cfg.freeze()
+    spec = LayeredSpec.from_cfg(cfg)
+    L = spec.layer_num
+
+    blob = load_checkpoint(args.ckpt)
+    params = jax.device_get(blob["params"])
+    print(f"checkpoint {args.ckpt} (epoch {blob['epoch']})", file=sys.stderr)
+
+    rs = RenderScene(cfg)
+    scene = rs.scene_boxes
+    s = args.width / rs.width
+    K = rs.Ks[args.view].copy()
+    K[:2, :] *= s
+    pose = rs.poses[args.view]
+    rays = pixel_rays(K, pose, args.height, args.width)
+    n = rays.shape[0]
+    # per-camera background near/far when the config leaves FIXED_NEAR/FAR
+    # at -1 (the dataset derives them from the point cloud's z-range,
+    # data/scene.py:127-135)
+    if rs.near_far[0] < 0:
+        base = rs.layers[0][0]
+        near_far = np.array([base.near[args.view], base.far[args.view]],
+                            np.float32)
+    else:
+        near_far = rs.near_far
+    inputs = RayInputs(
+        rays_o=rays[:, :3], rays_d=rays[:, 3:6],
+        frame_ids=np.full((n, L + 1), args.frame, np.float32),
+        cam_ids=np.full(n, float(args.view), np.float32),
+        near_far=np.tile(near_far[None], (n, 1)).astype(np.float32))
+
+    def render_ours(edits):
+        t0 = time.time()
+        out = render_rays_chunked(params, spec, scene, inputs, edits,
+                                  chunk=4096, key=None)
+        color = np.asarray(out.fine.color).reshape(args.height, args.width, 3)
+        return color, time.time() - t0
+
+    def render_ref(model, hide=None):
+        from tests.ref_harness import run_ref_forward
+
+        if hide is not None:
+            model.hide_layer(hide)
+        try:
+            packed = pack_rays(jax.tree.map(jnp.asarray, inputs), spec)
+            packed = np.asarray(packed)
+            t0 = time.time()
+            cols = []
+            for i in range(0, n, args.ref_chunk):
+                ref = run_ref_forward(model, packed[i:i + args.ref_chunk])
+                cols.append(ref["fine"][0])
+            return (np.concatenate(cols).reshape(args.height, args.width, 3),
+                    time.time() - t0)
+        finally:
+            if hide is not None:
+                model.show_layer(hide)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    os.pardir, "tests"))
+    from tests.ref_harness import build_ref_model, psnr
+
+    model = build_ref_model(cfg, params, spec, scene,
+                            camera_num=rs.camera_num)
+
+    ours, ours_s = render_ours(EditState.identity(L))
+    ref, ref_s = render_ref(model)
+    plain_db = psnr(ref, ours)
+
+    result = {"metric": "trained_ckpt_parity_psnr_db", "value": round(plain_db, 2),
+              "rays": n, "size": [args.width, args.height],
+              "view": args.view, "frame": args.frame,
+              "ours_s": round(ours_s, 1), "ref_torch_s": round(ref_s, 1)}
+
+    if args.hide_layer >= 1:
+        edits = EditState.identity(L)
+        edits = edits._replace(visible=edits.visible.at[args.hide_layer].set(0.0))
+        ours_h, _ = render_ours(edits)
+        ref_h, _ = render_ref(model, hide=args.hide_layer)
+        result["hide_layer_psnr_db"] = round(psnr(ref_h, ours_h), 2)
+
+    if args.save_dir:
+        from stnerf_tpu.render.video import write_image
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        write_image(os.path.join(args.save_dir, "ours.png"), ours)
+        write_image(os.path.join(args.save_dir, "ref.png"), ref)
+        write_image(os.path.join(args.save_dir, "absdiff_x20.png"),
+                    np.clip(np.abs(ours - ref) * 20.0, 0, 1))
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
