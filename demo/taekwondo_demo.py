@@ -39,7 +39,10 @@ def run(name, **renderer_kwargs):
     r = LayeredNeuralRenderer(cfg, **renderer_kwargs)
     r.set_save_dir(name)
     r.set_fps(25)
-    r.set_smooth_path_poses(101, around=False)
+    # STNERF_DEMO_POSES trims the path on bandwidth-constrained hosts;
+    # default matches the reference demo's 101-pose path.
+    r.set_smooth_path_poses(
+        int(os.environ.get("STNERF_DEMO_POSES", 101)), around=False)
     r.retime_by_key_frames(1, key_frames_layer_1, key_frames)
     r.retime_by_key_frames(2, key_frames_layer_2, key_frames)
     r.render_path(inverse_y_axis, density_threshold, auto_save=True)

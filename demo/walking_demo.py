@@ -37,7 +37,11 @@ inverse_y_axis = False
 
 neural_renderer.set_fps(25)
 neural_renderer.set_pose_duration(1, min(14, neural_renderer.camera_num - 1))
-neural_renderer.set_smooth_path_poses(100, around=False)
+# STNERF_DEMO_POSES trims the camera path on bandwidth-constrained hosts
+# (e.g. a tunneled TPU where per-frame download dominates); the default
+# matches the reference demo's 100-pose path.
+neural_renderer.set_smooth_path_poses(
+    int(os.environ.get("STNERF_DEMO_POSES", 100)), around=False)
 neural_renderer.set_near(4)
 neural_renderer.invert_poses()
 
