@@ -42,7 +42,13 @@ def train_throughput():
     2 performers + background, space-time + deformation MLPs, full
     coarse+fine+mask losses + Adam).
     Comparable metric in the reference: the trainer's rays/s log line
-    (ref: engine/layered_trainer.py:304)."""
+    (ref: engine/layered_trainer.py:304).
+
+    Returns (exact_rays_per_s, fast_fine_train_rays_per_s): the first is
+    the default reference-semantics trainer, the second the opt-in
+    TPU.FAST_FINE_TRAIN variant (fine nets evaluate only the new
+    importance samples; convergence-validated in RESULTS.md)."""
+    import dataclasses
     import time
 
     import jax
@@ -65,7 +71,6 @@ def train_throughput():
     cfg.MODEL.REMOVE_OUTLIERS = True
     spec = LayeredSpec.from_cfg(cfg)
 
-    params = init_layered_params(jax.random.PRNGKey(0), spec)
     scene = SceneBoxes(
         bkgd_box=jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]]),
         boxes=jnp.tile(jnp.array([[[-1.0, -1, 0], [1, 1, 2]],
@@ -90,24 +95,32 @@ def train_throughput():
         labels=jnp.asarray(rng.integers(0, 3, size=(n,)).astype(np.int32))))
 
     optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
-    epoch_fn = make_train_epoch(spec, optimizer, remove_outliers=True)
 
-    def run(params, opt_state, seed):
-        params, opt_state, metrics = epoch_fn(
-            params, opt_state, scene, pool, jax.random.PRNGKey(seed),
-            jnp.asarray(1.0), batch_size=batch, steps=steps,
-            only_coarse=False)
-        float(jax.device_get(jnp.mean(metrics.loss)))  # tunnel-safe sync
-        return params, opt_state
+    def bench_spec(s):
+        epoch_fn = make_train_epoch(s, optimizer, remove_outliers=True)
+        p = init_layered_params(jax.random.PRNGKey(0), s)
+        opt_state = optimizer.init(p)
 
-    params, opt_state = run(params, opt_state, 0)  # compile + warm
-    best = float("inf")
-    for i in range(3):
-        t0 = time.time()
-        params, opt_state = run(params, opt_state, i + 1)
-        best = min(best, time.time() - t0)
-    return steps * batch / best
+        def run(p, opt_state, seed):
+            p, opt_state, metrics = epoch_fn(
+                p, opt_state, scene, pool, jax.random.PRNGKey(seed),
+                jnp.asarray(1.0), batch_size=batch, steps=steps,
+                only_coarse=False)
+            float(jax.device_get(jnp.mean(metrics.loss)))  # tunnel-safe sync
+            return p, opt_state
+
+        p, opt_state = run(p, opt_state, 0)  # compile + warm
+        best = float("inf")
+        for i in range(3):
+            t0 = time.time()
+            p, opt_state = run(p, opt_state, i + 1)
+            best = min(best, time.time() - t0)
+        return steps * batch / best
+
+    exact = bench_spec(spec)
+    fast = bench_spec(dataclasses.replace(spec, fast_fine=True,
+                                          fast_fine_train=True))
+    return exact, fast
 
 
 def main():
@@ -210,7 +223,7 @@ def main():
                      key=key)
     e2e_s = time.time() - t0
 
-    train_rays_s = train_throughput()
+    train_rays_s, train_fast_rays_s = train_throughput()
 
     rays_per_s = n / frame_s
     mrays = rays_per_s / 1e6
@@ -228,6 +241,8 @@ def main():
                    "compile_exact_s": round(compile_exact_s, 1),
                    "samples_per_ray": 120, "layers": 3,
                    "train_rays_per_s": round(train_rays_s),
+                   "train_rays_per_s_fast_fine_train": round(
+                       train_fast_rays_s),
                    "train_vs_ref_rays_per_s": round(
                        train_rays_s / REF_GPU_TRAIN_RAYS_PER_SEC, 2),
                    "devices": len(jax.devices())},

@@ -172,6 +172,11 @@ _C.TPU.TRAINABLE_KERNEL = True
 # ref: modeling/layered_rfrender.py:481-606) stay the golden path.
 _C.TPU.FAST_FINE = False
 _C.TPU.FAST_FINE_EPS = 1e-3
+# opt-in: keep the fast fine stage in TRAINING too (fine nets train only at
+# the new importance positions; carried coarse contributions backprop into
+# the coarse nets; streams composite sort-free). Changes the training
+# objective slightly vs the reference — validate convergence before use.
+_C.TPU.FAST_FINE_TRAIN = False
 
 
 def get_cfg() -> CN:

@@ -196,8 +196,11 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # inference-only fused kernel off; when spec.trainable_kernel is on
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
+    # fast_fine stays off in training unless explicitly opted in
+    # (TPU.FAST_FINE_TRAIN); see LayeredSpec.fast_fine_train
     spec = dataclasses.replace(spec, use_pallas=False,
-                               nosort_composite=True, fast_fine=False)
+                               nosort_composite=True,
+                               fast_fine=bool(spec.fast_fine_train))
     edits = EditState.identity(spec.layer_num)
 
     @functools.partial(jax.jit, static_argnames=("only_coarse",),
@@ -248,8 +251,11 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # inference-only fused kernel off; when spec.trainable_kernel is on
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
+    # fast_fine stays off in training unless explicitly opted in
+    # (TPU.FAST_FINE_TRAIN); see LayeredSpec.fast_fine_train
     spec = dataclasses.replace(spec, use_pallas=False,
-                               nosort_composite=True, fast_fine=False)
+                               nosort_composite=True,
+                               fast_fine=bool(spec.fast_fine_train))
     edits = EditState.identity(spec.layer_num)
     # group rays by bbox-hit pattern so the fused kernel's tile-skip flags
     # bite (only the trainable-fused path consumes them)

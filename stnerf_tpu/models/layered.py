@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 from ..ops.sampling import (ray_aabb_intersect, sample_pdf,
                             stratified_between, stratified_near_far)
-from ..ops.volume import (composite_merged_nosort,
+from ..ops.volume import (composite_merged_nosort, composite_streams_nosort,
                           merge_layers_planar, sort_merge_t,
                           sort_samples_planar, volume_render_planar)
 from .camera import apply_camera_transform, init_camera_transform
@@ -92,14 +92,19 @@ class LayeredSpec:
     # permutation lane gathers), so training swaps in the factorized-
     # transmittance equivalent (ops.volume.composite_merged_nosort)
     fast_fine: bool = False            # opacity-driven fast fine stage
-    # (inference-only approximation; the trainer forces it off): fine nets
-    # evaluate ONLY the S2 new importance samples — coarse positions reuse
-    # the coarse nets' outputs — and a performer with ~zero coarse opacity
-    # on a ray skips its fine kernel there. Exact when fine nets equal
-    # coarse nets; the golden path keeps the reference's full union
+    # (approximation; the trainer strips it unless fast_fine_train): fine
+    # nets evaluate ONLY the S2 new importance samples — coarse positions
+    # reuse the coarse nets' outputs — and a performer with ~zero coarse
+    # opacity on a ray skips its fine kernel there. Exact when fine nets
+    # equal coarse nets; the golden path keeps the reference's full union
     # re-evaluation (ref: modeling/layered_rfrender.py:481-606).
     fine_skip_eps: float = 1e-3        # coarse-opacity cutoff for the
     # per-ray performer fine skip (only read when fast_fine)
+    fast_fine_train: bool = False      # opt-in: keep fast_fine in TRAINING
+    # too (the fine loss then trains fine nets only at the new importance
+    # positions; carried coarse contributions backprop into the coarse
+    # nets). With nosort_composite the carried/new streams composite
+    # sort-free (lax.sort's payload VJP is ~10x its forward on TPU).
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -130,6 +135,7 @@ class LayeredSpec:
             trainable_kernel=cfg.TPU.TRAINABLE_KERNEL,
             fast_fine=cfg.TPU.FAST_FINE,
             fine_skip_eps=float(cfg.TPU.FAST_FINE_EPS),
+            fast_fine_train=cfg.TPU.FAST_FINE_TRAIN,
         )
 
     def spacenet_spec(self, bkgd: bool) -> SpaceNetSpec:
@@ -817,6 +823,11 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
         # (ref: modeling/layered_rfrender.py:481-606); that exact
         # semantics stays the golden path in the else-branch below.
         t_n = z_new.reshape(lp1, N, S2)
+        if spec.nosort_composite:
+            # the stream compositor below needs each stream ascending;
+            # depths are stop-gradient constants, so this payload-free
+            # sort has no VJP cost (random-u sample_pdf is unsorted)
+            t_n = jax.lax.sort(t_n, dimension=-1)
         xyz_n = o_p[None, :, :, None] + t_n[:, None, :, :] * d_p[None, :, :, None]
         xyz_n = _inverse_edit_points(xyz_n, edits)
         if not in_kernel_deform:
@@ -836,6 +847,32 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
         sig_u = jnp.concatenate([sig_c_raw, sig_n], -1)
         sig_u = _mask_sigma_fine(spec, sig_u, hit, edits)  # pointwise per
         # (layer, ray): commutes with the per-layer depth sort below
+        if spec.nosort_composite:
+            # Training fast fine: composite the carried-coarse and new
+            # importance streams WITHOUT a payload sort (lax.sort's VJP is
+            # ~10x its forward on TPU) — both streams are ascending, so
+            # the factorized-transmittance stream compositor computes the
+            # exact union compositing: 2 streams per layer for the
+            # per-layer outputs, 2*(L+1) streams for the merged pixel.
+            sig_cu, sig_nu = sig_u[..., :S1], sig_u[..., S1:]
+            pl = [composite_streams_nosort(
+                [(t_c[l], rgb_c[l], sig_cu[l]),
+                 (t_n[l], rgb_n[l], sig_nu[l])], bw)
+                for l in range(lp1)]
+            fine_layers = LayerOutputs(
+                jnp.stack([p.color for p in pl]),
+                jnp.stack([p.depth for p in pl]),
+                jnp.stack([p.acc for p in pl]))
+            def _near(tt, ss):                               # ref: :605
+                return jnp.where(tt >= edits.near, ss, 0.0)
+            mixed_f = composite_streams_nosort(
+                [(t_c[l], rgb_c[l], _near(t_c[l], sig_cu[l]))
+                 for l in range(lp1)]
+                + [(t_n[l], rgb_n[l], _near(t_n[l], sig_nu[l]))
+                   for l in range(lp1)], bw)
+            fine = LayerOutputs(mixed_f.color, mixed_f.depth, mixed_f.acc)
+            return RenderOutputs(fine, coarse, fine_layers, coarse_layers,
+                                 hit)
         t_f, rgb_f, sig_f = sort_samples_planar(t_u, rgb_u, sig_u)
     else:
         t_f = sort_merge_t(t_flat, z_new)

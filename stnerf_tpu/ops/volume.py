@@ -154,29 +154,122 @@ def merge_layers_planar(t: jnp.ndarray, rgb: jnp.ndarray, sigma: jnp.ndarray):
     return t_s, jnp.stack([r_s, g_s, b_s], axis=0), sig_s
 
 
+def composite_streams_nosort(streams, boarder_weight: float = 1e10
+                             ) -> RenderedRays:
+    """Exact union compositing of several per-ray ascending sample streams
+    WITHOUT sorting — the core of the training compositors.
+
+    ``streams``: sequence of ``(t (N, S_i), rgb (3, N, S_i), sigma (N, S_i))``
+    with each stream's depths ascending per ray (stream lengths may differ).
+    Numerically equivalent (up to float product reassociation) to sorting
+    the union of all streams and running :func:`volume_render_planar`: the
+    union's exclusive transmittance at a sample factorizes into each
+    stream's own cumulative product evaluated at that depth, and the union
+    segment length is the distance to the nearest next sample across
+    streams.
+
+    Why it exists: ``lax.sort``'s VJP applies the inverse permutation with
+    lane-dimension gathers — ~10x the forward cost on TPU (measured 2.4 ms
+    fwd vs 23.7 ms fwd+bwd at L=3, N=2000, S=120). The depths are
+    stop-gradient (as in training: ref trainer detaches sample positions),
+    so every depth comparison is a constant, and the cross-stream
+    transmittance is an exp of cube-masked log-factor sums — per (a, b)
+    pair one (N,S_a,S_b)x(N,S_a) batched matmul whose backward is the
+    transposed matmul (MXU both ways; an earlier one-hot-gather-of-cumprod
+    form was HBM-bound on its (N, S, S+1) one-hot cubes). Ties across
+    streams follow the stable stream order except between equal depths
+    with nonzero density (measure-zero under jittered sampling).
+
+    ``weights`` in the result is the per-stream weights concatenated in
+    stream order, ``(N, sum(S_i), 1)``.
+    """
+    M = len(streams)
+    ts = [jax.lax.stop_gradient(s[0]) for s in streams]
+    rgbs = [s[1] for s in streams]
+    sigs = [s[2] for s in streams]
+    N = ts[0].shape[0]
+    inf = jnp.float32(3.4e38)
+
+    # Constant per-pair precedence cubes (f32 0/1): each is both the
+    # successor mask here and the cross-stream transmittance contraction
+    # operand below. Peak memory: all M*(M-1) cubes are live between the
+    # two loops and persist as backward matmul residuals —
+    # sum_{a!=b} N*S_a*S_b*4 B (~0.35 GB at M=3, N=2000, S=120), quadratic
+    # in S. Acceptable at production batch shapes; revisit (recompute cubes
+    # in the second loop under jax.checkpoint) before growing S past ~200.
+    nxt = [jnp.concatenate([t[:, 1:], jnp.full((N, 1), inf)], -1)
+           for t in ts]                          # per-stream union successor
+    cubes = [[None] * M for _ in range(M)]       # cube[a][b]: a's sample precedes b's
+    for a in range(M):
+        for b in range(M):
+            if a == b:
+                continue
+            cube = ts[a][:, :, None] <= ts[b][:, None, :] if a < b else \
+                   ts[a][:, :, None] < ts[b][:, None, :]   # (N, S_a, S_b)
+            cubes[a][b] = cube.astype(jnp.float32)
+            # successor candidate from stream a at b's samples: min of a's
+            # depths strictly/weakly after (stable order: > for a<b would
+            # skip a's own equal value, but equal values of a precede b when
+            # a<b, so the next *distinct* element is > t_b; for a>b equal
+            # values follow b, so >= t_b qualifies).
+            above = jnp.where(cube, inf, ts[a][:, :, None]) if a > b else \
+                jnp.where(ts[a][:, :, None] > ts[b][:, None, :],
+                          ts[a][:, :, None], inf)
+            nxt[b] = jnp.minimum(nxt[b], jnp.min(above, axis=1))
+    deltas = [jax.lax.stop_gradient(
+        jnp.where(jnp.isfinite(nxt[b]), nxt[b] - ts[b], boarder_weight))
+        for b in range(M)]
+
+    alphas = [1.0 - jnp.exp(-jax.nn.relu(sig) * d)
+              for sig, d in zip(sigs, deltas)]
+    fs = [1.0 - a + 1e-10 for a in alphas]
+    # Log-space transmittance: the union's exclusive transmittance at b's
+    # sample s factorizes into per-stream products of the factors of samples
+    # preceding it — i.e. exp of a cube-masked SUM of log factors. The
+    # cross-stream contraction is one (N,S_a,S_b)x(N,S_a) batched matmul per
+    # pair (MXU, transposed matmul backward) — replacing the (N, S, S+1)
+    # one-hot gather cubes of cumprod values, whose HBM traffic dominated
+    # the compositor. The max() guards the epsilon XLA const-folds away (see
+    # _cumprod_bounded): saturated factors reach here as exact zeros and
+    # log would give -inf (0 * -inf = NaN in the backward).
+    logfs = [jnp.log(jnp.maximum(f, 1e-10)) for f in fs]
+    logT = [jnp.concatenate([jnp.zeros((N, 1), lf.dtype),
+                             jnp.cumsum(lf, axis=-1)[:, :-1]], axis=-1)
+            for lf in logfs]
+    for a in range(M):
+        for b in range(M):
+            if a == b:
+                continue
+            logT[b] = logT[b] + jnp.einsum("njs,nj->ns", cubes[a][b],
+                                           logfs[a])
+
+    ws = [al * jnp.exp(lt) for al, lt in zip(alphas, logT)]   # (N, S_b) each
+    color = sum(jnp.einsum("ns,cns->nc", w, jax.nn.sigmoid(r))
+                for w, r in zip(ws, rgbs))
+    depth = sum(jnp.sum(w * t, axis=-1) for w, t in zip(ws, ts))[:, None]
+    acc = sum(jnp.sum(w, axis=-1) for w in ws)[:, None]
+    weights = jnp.concatenate(ws, axis=-1)[..., None]
+    return RenderedRays(color, depth, acc, weights)
+
+
 def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
                             sigma: jnp.ndarray,
                             boarder_weight: float = 1e10) -> RenderedRays:
     """Merged-layer compositing WITHOUT the cross-layer sort — the training
-    path's compositor.
+    path's compositor; the equal-length-streams case of
+    :func:`composite_streams_nosort` (one stream per layer).
 
     Numerically equivalent (up to float product reassociation) to
-    ``volume_render_planar(*merge_layers_planar(t, rgb, sigma))``: the merged
-    sequence's exclusive transmittance at a sample factorizes into each
-    layer's own cumulative product evaluated at that depth, and the merged
-    segment length is the distance to the nearest next sample across layers.
+    ``volume_render_planar(*merge_layers_planar(t, rgb, sigma))``
+    (ref merge: modeling/layered_rfrender.py:425-429).
 
-    Why it exists: ``lax.sort``'s VJP applies the inverse permutation with
-    lane-dimension gathers — ~10x the forward cost on TPU (measured 2.4 ms
-    fwd vs 23.7 ms fwd+bwd at L=3, N=2000, S=120). Here the depths are
-    stop-gradient (as in training: ref trainer detaches sample positions),
-    so every depth comparison is a constant, and the cross-layer
-    transmittance is an exp of cube-masked log-factor sums — per (a, b)
-    pair one (N,S,S)x(N,S) batched matmul whose backward is the transposed
-    matmul (MXU both ways; an earlier one-hot-gather-of-cumprod form was
-    HBM-bound on its (N, S, S+1) one-hot cubes). Ties across layers follow
-    the stable concat order except between equal depths with nonzero
-    density (measure-zero under jittered sampling).
+    Kept as a separate stacked-tensor implementation rather than delegating
+    to :func:`composite_streams_nosort`: per-stream (N, S) elementwise ops
+    change XLA's fusion shapes around the trainable Pallas field kernel and
+    push its cond-branch scoped-VMEM allocation past the 16 MB limit at
+    production batch shapes (observed: 16.24M vs 16.00M — a compile-time
+    OOM). The stacked (L, N, S) form keeps the exact-path HLO stable; both
+    forms are pinned to the sorted reference by tests/test_ops.py.
 
     t: (L, N, S) per-layer ascending depths (treated as constants);
     rgb: (L, 3, N, S) raw; sigma: (L, N, S) raw. ``weights`` in the result
@@ -187,13 +280,6 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
     t = jax.lax.stop_gradient(t)
     t_next_own = jnp.concatenate([t[:, :, 1:], jnp.full((L, N, 1), inf)], -1)
 
-    # Constant per-pair precedence cubes (f32 0/1): each is both the
-    # successor mask here and the cross-layer transmittance contraction
-    # operand below. Peak memory: all L*(L-1) cubes are live between the
-    # two loops and persist as backward matmul residuals — L(L-1)*N*S^2*4 B
-    # (~0.35 GB at L=3, N=2000, S=120), quadratic in S. Acceptable at
-    # production batch shapes; revisit (recompute cubes in the second loop
-    # under jax.checkpoint) before growing S past ~200.
     nxt = [t_next_own[b] for b in range(L)]      # per-layer merged successor
     cubes = [[None] * L for _ in range(L)]       # cube[a][b]: a's sample precedes b's
     for a in range(L):
@@ -203,11 +289,6 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
             cube = t[a][:, :, None] <= t[b][:, None, :] if a < b else \
                    t[a][:, :, None] < t[b][:, None, :]   # (N, S_a, S_b)
             cubes[a][b] = cube.astype(jnp.float32)
-            # successor candidate from layer a at b's samples: min of a's
-            # depths strictly/weakly after (stable order: > for a<b would
-            # skip a's own equal value, but equal values of a precede b when
-            # a<b, so the next *distinct* element is > t_b; for a>b equal
-            # values follow b, so >= t_b qualifies).
             above = jnp.where(cube, inf, t[a][:, :, None]) if a > b else \
                 jnp.where(t[a][:, :, None] > t[b][:, None, :],
                           t[a][:, :, None], inf)
@@ -218,15 +299,6 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
     f = 1.0 - alpha + 1e-10
-    # Log-space transmittance: the merged exclusive transmittance at b's
-    # sample s factorizes into per-layer products of the factors of samples
-    # preceding it — i.e. exp of a cube-masked SUM of log factors. The
-    # cross-layer contraction is one (N,S,S)x(N,S) batched matmul per pair
-    # (MXU, transposed matmul backward) — replacing the (N, S, S+1) one-hot
-    # gather cubes of cumprod values, whose HBM traffic dominated the
-    # compositor. The max() guards the epsilon XLA const-folds away (see
-    # _cumprod_bounded): saturated factors reach here as exact zeros and
-    # log would give -inf (0 * -inf = NaN in the backward).
     logf = jnp.log(jnp.maximum(f, 1e-10))                    # (L, N, S)
     excl = jnp.concatenate([jnp.zeros((L, N, 1), logf.dtype),
                             jnp.cumsum(logf, axis=-1)[..., :-1]], axis=-1)

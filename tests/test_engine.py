@@ -160,6 +160,41 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.8, losses
 
+    def test_loss_decreases_fast_fine_train(self):
+        """Opt-in TPU.FAST_FINE_TRAIN: the step trains end-to-end through
+        the sort-free carried-coarse/new-stream compositor."""
+        import dataclasses
+
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WEIGHT_DECAY = 0.0
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+
+        spec = dataclasses.replace(SPEC, fast_fine=True,
+                                   fast_fine_train=True)
+        optimizer = make_optimizer(cfg)
+        step = make_train_step(spec, optimizer, remove_outliers=True)
+        params = init_layered_params(jax.random.PRNGKey(0), spec)
+        opt_state = optimizer.init(params)
+        scene = make_scene()
+        batch = _toy_batch()
+        key = jax.random.PRNGKey(0)
+
+        losses = []
+        for i in range(15):
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = step(params, opt_state, scene,
+                                              batch, sub, jnp.asarray(1.0),
+                                              only_coarse=False)
+            losses.append(float(metrics.loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.8, losses
+
     def test_coarse_stage_runs(self):
         from stnerf_tpu.config import get_cfg
 

@@ -329,6 +329,77 @@ class TestFastFine:
         np.testing.assert_allclose(np.asarray(h.fine_layers.acc[1]), 0.0,
                                    atol=1e-6)
 
+    def test_fast_fine_nosort_matches_sorted_values_and_grads(self):
+        """The fast-fine TRAINING variant (nosort_composite: carried-coarse
+        + new streams composited sort-free) must match the sorted fast-fine
+        path in values and parameter gradients — it is the same function,
+        differently associated."""
+        import dataclasses
+
+        spec = dataclasses.replace(SPEC, fast_fine=True, fine_skip_eps=0.0)
+        spec_ns = dataclasses.replace(spec, nosort_composite=True)
+        params = init_layered_params(jax.random.PRNGKey(5), spec)
+        scene, inputs = make_scene(), make_rays()
+        key = jax.random.PRNGKey(9)
+        # deterministic sampling (key=None) so both variants evaluate the
+        # SAME positions: with a key, the nosort branch pre-sorts the
+        # unsorted sample_pdf draws (same set, same union — but fold-order
+        # inside sample_pdf's gather differs at f32 ulp scale)
+        a = render(params, spec, scene, inputs, EditState.identity(2),
+                   key=None)
+        b = render(params, spec_ns, scene, inputs, EditState.identity(2),
+                   key=None)
+        np.testing.assert_allclose(np.asarray(b.fine.color),
+                                   np.asarray(a.fine.color), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(b.fine.depth),
+                                   np.asarray(a.fine.depth), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(b.fine_layers.acc),
+                                   np.asarray(a.fine_layers.acc), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(b.fine_layers.color),
+                                   np.asarray(a.fine_layers.color), atol=2e-5)
+
+        def loss(p, s):
+            out = render_rays(p, s, scene, inputs, EditState.identity(2),
+                              key=None)
+            return (jnp.sum(out.fine.color ** 2)
+                    + jnp.sum(out.fine_layers.acc)
+                    + jnp.sum(out.fine.depth * 1e-3))
+
+        from jax.flatten_util import ravel_pytree
+
+        ga = jax.grad(loss)(params, spec)
+        gb = jax.grad(loss)(params, spec_ns)
+        flat_a, _ = ravel_pytree(ga)
+        flat_b, _ = ravel_pytree(gb)
+        np.testing.assert_allclose(np.asarray(flat_b), np.asarray(flat_a),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_trainer_keeps_fast_fine_when_opted_in(self):
+        import dataclasses
+
+        from stnerf_tpu.config import get_cfg
+        from stnerf_tpu.engine import make_optimizer, make_train_step
+
+        cfg = get_cfg()
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+        spec = dataclasses.replace(SPEC, fast_fine=True,
+                                   fast_fine_train=True)
+        step = make_train_step(spec, make_optimizer(cfg))
+        cells = {c.cell_contents.fast_fine
+                 for c in step.__wrapped__.__closure__ or ()
+                 if isinstance(c.cell_contents, LayeredSpec)}
+        assert cells == {True}
+
+    def test_from_cfg_plumbs_fast_fine_train(self):
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.TPU.FAST_FINE_TRAIN = True
+        spec = LayeredSpec.from_cfg(cfg)
+        assert spec.fast_fine_train
+
     def test_trainer_forces_exact_path(self):
         import dataclasses
 

@@ -378,3 +378,62 @@ def test_ssim_bounded_on_smooth_images():
     s = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
     assert -1.0 <= s <= 1.0
     assert s > 0.5  # structurally similar
+
+
+def test_stream_compositor_heterogeneous_lengths():
+    """composite_streams_nosort with UNEQUAL stream lengths vs sorting the
+    union with a constant permutation: values AND gradients. This is the
+    fast-fine training compositor's exact use (a carried-coarse stream and
+    a shorter importance stream per layer, ref union semantics:
+    modeling/layered_rfrender.py:462)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stnerf_tpu.ops.volume import (composite_streams_nosort,
+                                       volume_render_planar)
+
+    lengths, N = [24, 9, 17], 32
+    rng = np.random.default_rng(11)
+    ts = [jnp.asarray(np.sort(rng.uniform(0.5, 16, size=(N, S))
+                              .astype(np.float32), axis=-1))
+          for S in lengths]
+    rgbs = [jnp.asarray(rng.normal(size=(3, N, S)).astype(np.float32))
+            for S in lengths]
+    sigs = [jnp.asarray(rng.normal(size=(N, S)).astype(np.float32))
+            for S in lengths]
+    order = jnp.asarray(
+        np.argsort(np.concatenate([np.asarray(t) for t in ts], -1), axis=-1))
+
+    def ref_loss(rgbs, sigs, reduce=True):
+        t_cat = jnp.concatenate(ts, -1)
+        r_cat = jnp.concatenate(rgbs, -1)
+        s_cat = jnp.concatenate(sigs, -1)
+        t_s = jnp.take_along_axis(t_cat, order, -1)
+        r_s = jnp.take_along_axis(r_cat, order[None], -1)
+        s_s = jnp.take_along_axis(s_cat, order, -1)
+        out = volume_render_planar(t_s, r_s, s_s, 1e10)
+        return (jnp.sum(out.color ** 2) + jnp.sum(out.acc)
+                + jnp.sum(out.depth)) if reduce else out
+
+    def stream_loss(rgbs, sigs, reduce=True):
+        out = composite_streams_nosort(list(zip(ts, rgbs, sigs)), 1e10)
+        return (jnp.sum(out.color ** 2) + jnp.sum(out.acc)
+                + jnp.sum(out.depth)) if reduce else out
+
+    ref = ref_loss(rgbs, sigs, reduce=False)
+    new = stream_loss(rgbs, sigs, reduce=False)
+    np.testing.assert_allclose(np.asarray(new.color), np.asarray(ref.color),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new.depth), np.asarray(ref.depth),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.acc), np.asarray(ref.acc),
+                               rtol=1e-5, atol=1e-6)
+
+    gr_ref, gs_ref = jax.grad(ref_loss, (0, 1))(rgbs, sigs)
+    gr_new, gs_new = jax.grad(stream_loss, (0, 1))(rgbs, sigs)
+    for a, b in zip(gr_new, gr_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(gs_new, gs_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
