@@ -177,6 +177,12 @@ _C.TPU.FAST_FINE_EPS = 1e-3
 # the coarse nets; streams composite sort-free). Changes the training
 # objective slightly vs the reference — validate convergence before use.
 _C.TPU.FAST_FINE_TRAIN = False
+# Pallas cross-transmittance kernels inside the sort-free training
+# compositor (kernels/cross_trans.py): rebuild the stream-precedence masks
+# in VMEM per ray block instead of materializing L*(L-1) HBM einsum cubes
+# (which also persist as backward residuals). Same semantics, float sums
+# reassociated. Default False: the XLA cube path is the golden form.
+_C.TPU.COMPOSITOR_KERNEL = False
 
 
 def get_cfg() -> CN:

@@ -105,6 +105,10 @@ class LayeredSpec:
     # positions; carried coarse contributions backprop into the coarse
     # nets). With nosort_composite the carried/new streams composite
     # sort-free (lax.sort's payload VJP is ~10x its forward on TPU).
+    compositor_kernel: bool = False    # Pallas cross-transmittance kernels
+    # in the nosort compositor (kernels/cross_trans.py): rebuild the
+    # precedence masks in VMEM instead of HBM einsum cubes. Same semantics,
+    # reassociated sums; the XLA cube path stays the golden form.
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -136,6 +140,7 @@ class LayeredSpec:
             fast_fine=cfg.TPU.FAST_FINE,
             fine_skip_eps=float(cfg.TPU.FAST_FINE_EPS),
             fast_fine_train=cfg.TPU.FAST_FINE_TRAIN,
+            compositor_kernel=cfg.TPU.COMPOSITOR_KERNEL,
         )
 
     def spacenet_spec(self, bkgd: bool) -> SpaceNetSpec:
@@ -333,6 +338,12 @@ def _use_trainable_fused(spec: LayeredSpec) -> bool:
     falls back to the staged trainable path, where _deform runs in XLA."""
     return (spec.trainable_kernel and not spec.use_deform_view
             and jax.default_backend() == "tpu")
+
+
+def _use_compositor_kernel(spec: LayeredSpec) -> bool:
+    """Pallas cross-transmittance path of the nosort compositor (TPU only;
+    the XLA cube path is the golden form and the CPU/test fallback)."""
+    return spec.compositor_kernel and jax.default_backend() == "tpu"
 
 
 def _use_fused_kernel(spec: LayeredSpec) -> bool:
@@ -793,7 +804,8 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                            )(t_c, rgb_c, sig_c)
     coarse_layers = LayerOutputs(per_layer_c.color, per_layer_c.depth, per_layer_c.acc)
     if spec.nosort_composite:
-        mixed_c = composite_merged_nosort(t_c, rgb_c, sig_c, bw)
+        mixed_c = composite_merged_nosort(t_c, rgb_c, sig_c, bw,
+                                          kernel=_use_compositor_kernel(spec))
     else:
         t_m, rgb_m, sig_m = merge_layers_planar(t_c, rgb_c, sig_c)
         mixed_c = volume_render_planar(t_m, rgb_m, sig_m, bw)
@@ -894,7 +906,8 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
 
     if spec.nosort_composite:
         sig_fc = jnp.where(t_f >= edits.near, sig_f, 0.0)  # ref: :605
-        mixed_f = composite_merged_nosort(t_f, rgb_f, sig_fc, bw)
+        mixed_f = composite_merged_nosort(t_f, rgb_f, sig_fc, bw,
+                                          kernel=_use_compositor_kernel(spec))
     else:
         t_mf, rgb_mf, sig_mf = merge_layers_planar(t_f, rgb_f, sig_f)
         sig_mf = jnp.where(t_mf >= edits.near, sig_mf, 0.0)  # ref: :605

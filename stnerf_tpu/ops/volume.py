@@ -254,7 +254,9 @@ def composite_streams_nosort(streams, boarder_weight: float = 1e10
 
 def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
                             sigma: jnp.ndarray,
-                            boarder_weight: float = 1e10) -> RenderedRays:
+                            boarder_weight: float = 1e10,
+                            kernel: bool = False,
+                            interpret: bool = False) -> RenderedRays:
     """Merged-layer compositing WITHOUT the cross-layer sort — the training
     path's compositor; the equal-length-streams case of
     :func:`composite_streams_nosort` (one stream per layer).
@@ -274,41 +276,65 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
     t: (L, N, S) per-layer ascending depths (treated as constants);
     rgb: (L, 3, N, S) raw; sigma: (L, N, S) raw. ``weights`` in the result
     is layer-major (N, L*S, 1) (unsorted order).
+
+    ``kernel=True`` computes the cross-stream successor and transmittance
+    terms with the Pallas kernels in kernels/cross_trans.py (masks rebuilt
+    in VMEM instead of L*(L-1) HBM-resident (N, S, S) einsum cubes); same
+    semantics, float-reassociated sums. The XLA cube path stays the default
+    and the golden-parity form.
     """
     L, N, S = t.shape
     inf = jnp.float32(3.4e38)
     t = jax.lax.stop_gradient(t)
     t_next_own = jnp.concatenate([t[:, :, 1:], jnp.full((L, N, 1), inf)], -1)
 
-    nxt = [t_next_own[b] for b in range(L)]      # per-layer merged successor
-    cubes = [[None] * L for _ in range(L)]       # cube[a][b]: a's sample precedes b's
-    for a in range(L):
-        for b in range(L):
-            if a == b:
-                continue
-            cube = t[a][:, :, None] <= t[b][:, None, :] if a < b else \
-                   t[a][:, :, None] < t[b][:, None, :]   # (N, S_a, S_b)
-            cubes[a][b] = cube.astype(jnp.float32)
-            above = jnp.where(cube, inf, t[a][:, :, None]) if a > b else \
-                jnp.where(t[a][:, :, None] > t[b][:, None, :],
-                          t[a][:, :, None], inf)
-            nxt[b] = jnp.minimum(nxt[b], jnp.min(above, axis=1))
-    delta = [jnp.where(jnp.isfinite(nxt[b]), nxt[b] - t[b], boarder_weight)
-             for b in range(L)]
-    delta = jax.lax.stop_gradient(jnp.stack(delta))          # (L, N, S)
+    if kernel:
+        from ..kernels.cross_trans import (cross_log_transmittance,
+                                           cross_successor)
+        nxt_s = jnp.minimum(t_next_own,
+                            cross_successor(t, interpret=interpret))
+        delta = jax.lax.stop_gradient(
+            jnp.where(jnp.isfinite(nxt_s), nxt_s - t, boarder_weight))
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+        f = 1.0 - alpha + 1e-10
+        logf = jnp.log(jnp.maximum(f, 1e-10))                # (L, N, S)
+        excl = jnp.concatenate([jnp.zeros((L, N, 1), logf.dtype),
+                                jnp.cumsum(logf, axis=-1)[..., :-1]],
+                               axis=-1)
+        T = jnp.exp(excl + cross_log_transmittance(t, logf,
+                                                   interpret=interpret))
+    else:
+        nxt = [t_next_own[b] for b in range(L)]  # per-layer merged successor
+        cubes = [[None] * L for _ in range(L)]   # cube[a][b]: a precedes b
+        for a in range(L):
+            for b in range(L):
+                if a == b:
+                    continue
+                cube = t[a][:, :, None] <= t[b][:, None, :] if a < b else \
+                       t[a][:, :, None] < t[b][:, None, :]   # (N, S_a, S_b)
+                cubes[a][b] = cube.astype(jnp.float32)
+                above = jnp.where(cube, inf, t[a][:, :, None]) if a > b else \
+                    jnp.where(t[a][:, :, None] > t[b][:, None, :],
+                              t[a][:, :, None], inf)
+                nxt[b] = jnp.minimum(nxt[b], jnp.min(above, axis=1))
+        delta = [jnp.where(jnp.isfinite(nxt[b]), nxt[b] - t[b],
+                           boarder_weight) for b in range(L)]
+        delta = jax.lax.stop_gradient(jnp.stack(delta))      # (L, N, S)
 
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
-    f = 1.0 - alpha + 1e-10
-    logf = jnp.log(jnp.maximum(f, 1e-10))                    # (L, N, S)
-    excl = jnp.concatenate([jnp.zeros((L, N, 1), logf.dtype),
-                            jnp.cumsum(logf, axis=-1)[..., :-1]], axis=-1)
-    logT = [excl[b] for b in range(L)]
-    for a in range(L):
-        for b in range(L):
-            if a == b:
-                continue
-            logT[b] = logT[b] + jnp.einsum("njs,nj->ns", cubes[a][b], logf[a])
-    T = jnp.exp(jnp.stack(logT))
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * delta)
+        f = 1.0 - alpha + 1e-10
+        logf = jnp.log(jnp.maximum(f, 1e-10))                # (L, N, S)
+        excl = jnp.concatenate([jnp.zeros((L, N, 1), logf.dtype),
+                                jnp.cumsum(logf, axis=-1)[..., :-1]],
+                               axis=-1)
+        logT = [excl[b] for b in range(L)]
+        for a in range(L):
+            for b in range(L):
+                if a == b:
+                    continue
+                logT[b] = logT[b] + jnp.einsum("njs,nj->ns", cubes[a][b],
+                                               logf[a])
+        T = jnp.exp(jnp.stack(logT))
 
     w = alpha * T                                             # (L, N, S)
     color = jnp.einsum("lns,lcns->nc", w, jax.nn.sigmoid(rgb))

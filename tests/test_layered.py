@@ -400,6 +400,14 @@ class TestFastFine:
         spec = LayeredSpec.from_cfg(cfg)
         assert spec.fast_fine_train
 
+    def test_from_cfg_plumbs_compositor_kernel(self):
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        assert not LayeredSpec.from_cfg(cfg).compositor_kernel  # default off
+        cfg.TPU.COMPOSITOR_KERNEL = True
+        assert LayeredSpec.from_cfg(cfg).compositor_kernel
+
     def test_trainer_forces_exact_path(self):
         import dataclasses
 

@@ -437,3 +437,52 @@ def test_stream_compositor_heterogeneous_lengths():
     for a, b in zip(gs_new, gs_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_compositor_kernel_matches_xla_cubes():
+    """composite_merged_nosort(kernel=True) — the Pallas cross-transmittance
+    path (kernels/cross_trans.py, interpret mode here) — must match the XLA
+    einsum-cube path in values AND gradients, including cross-layer depth
+    TIES (stable stream order: <= for a<b, < for a>b) and saturated
+    densities (the 1e-10 log floor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stnerf_tpu.ops.volume import composite_merged_nosort
+
+    L, N, S = 3, 37, 24  # N deliberately not a multiple of the ray block
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.uniform(0.5, 16, size=(L, N, S)).astype(np.float32), -1)
+    t[1, :5, 3:7] = t[0, :5, 3:7]       # exact cross-layer ties
+    t[2, :5, 10] = t[0, :5, 10]
+    t = jnp.asarray(t)
+    sig = np.asarray(rng.normal(size=(L, N, S)), np.float32)
+    sig[0, :3, 4] = 1e6                 # saturated: exact-zero factor
+    sig = jnp.asarray(sig)
+    rgb = jnp.asarray(rng.normal(size=(L, 3, N, S)).astype(np.float32))
+
+    def loss(fn):
+        def f(rgb, sig, reduce=True):
+            out = fn(rgb, sig)
+            return (jnp.sum(out.color ** 2) + jnp.sum(out.acc)
+                    + jnp.sum(out.depth)
+                    + jnp.sum(out.weights ** 2)) if reduce else out
+        return f
+
+    xla = loss(lambda r, s: composite_merged_nosort(t, r, s, 1e10))
+    ker = loss(lambda r, s: composite_merged_nosort(
+        t, r, s, 1e10, kernel=True, interpret=True))
+
+    a, b = xla(rgb, sig, reduce=False), ker(rgb, sig, reduce=False)
+    for name in ("color", "depth", "acc", "weights"):
+        np.testing.assert_allclose(np.asarray(getattr(b, name)),
+                                   np.asarray(getattr(a, name)),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+    gr_a, gs_a = jax.grad(xla, (0, 1))(rgb, sig)
+    gr_b, gs_b = jax.grad(ker, (0, 1))(rgb, sig)
+    assert np.isfinite(np.asarray(gs_b)).all()
+    np.testing.assert_allclose(np.asarray(gr_b), np.asarray(gr_a),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs_b), np.asarray(gs_a),
+                               rtol=1e-4, atol=1e-5)
