@@ -370,3 +370,48 @@ class TestDoTrain:
             lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
             params_a, params_b))
         assert all(ok), "mid-epoch resume diverged from uninterrupted run"
+
+
+class TestSupervise:
+    """tools/train.py --auto-restart: the crash-relaunch supervisor
+    (failure recovery for TPU worker death / tunnel outages; pairs with
+    the segmented-epoch mid-run checkpoints so a crash loses at most one
+    segment)."""
+
+    def _load(self):
+        import importlib.util
+        root = os.path.join(os.path.dirname(__file__), "..")
+        p = os.path.join(root, "tools", "train.py")
+        s = importlib.util.spec_from_file_location("train_cli", p)
+        m = importlib.util.module_from_spec(s)
+        s.loader.exec_module(m)
+        return m
+
+    def test_retries_until_success_and_appends_resume(self):
+        m = self._load()
+        calls = []
+
+        def fake_run(cmd):
+            calls.append(list(cmd))
+            return 1 if len(calls) < 3 else 0
+
+        rc = m.supervise(["prog", "-c", "x.yml"], restarts=5,
+                         backoffs=(0,), run=fake_run)
+        assert rc == 0 and len(calls) == 3
+        assert "--resume" not in calls[0]          # first attempt untouched
+        assert calls[1][-1] == "--resume"          # retries resume
+        assert calls[2].count("--resume") == 1     # appended once
+
+    def test_gives_up_after_n_restarts(self):
+        m = self._load()
+        calls = []
+        rc = m.supervise(["prog"], restarts=2, backoffs=(0,),
+                         run=lambda c: calls.append(1) or 7)
+        assert rc == 7 and len(calls) == 3          # 1 attempt + 2 restarts
+
+    def test_zero_restarts_runs_once(self):
+        m = self._load()
+        calls = []
+        rc = m.supervise(["prog"], restarts=0, backoffs=(0,),
+                         run=lambda c: calls.append(1) or 3)
+        assert rc == 3 and len(calls) == 1

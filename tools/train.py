@@ -8,16 +8,51 @@ checkpointing.
 
 Usage: python tools/train.py -c configs/config_walking.yml
        [--resume] [--epochs N] [--seed S] [--psnr-thres X]
+       [--auto-restart N]
+
+``--auto-restart N`` supervises the run: on a crash (TPU runtime death,
+tunnel outage, OOM — this environment's TPU workers demonstrably die
+mid-run, RESULTS.md) the training process is relaunched with ``--resume``
+up to N times, losing at most one checkpoint segment (the segmented epoch
+saves every SOLVER.CHECKPOINT_PERIOD steps and --resume restores mid-epoch
+position). The supervisor itself never touches the TPU — one TPU process
+at a time is an environment invariant.
 """
 
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-import numpy as np
+_BACKOFF_S = (15, 30, 60, 120, 300)  # then 300 s between further restarts
+
+
+def supervise(cmd, restarts, backoffs=_BACKOFF_S, run=None):
+    """Run ``cmd`` (argv list); on nonzero exit relaunch it up to
+    ``restarts`` times with increasing backoff. Returns the final exit
+    code (0 on any success). ``run`` injects the launcher for tests
+    (defaults to subprocess.call)."""
+    if run is None:
+        import subprocess
+
+        run = subprocess.call
+    for attempt in range(restarts + 1):
+        rc = run(cmd)
+        if rc == 0:
+            return 0
+        if attempt == restarts:
+            return rc
+        wait = backoffs[min(attempt, len(backoffs) - 1)]
+        print(f"[supervise] attempt {attempt + 1} exited rc={rc}; "
+              f"relaunching with --resume in {wait}s "
+              f"({restarts - attempt} restarts left)", file=sys.stderr,
+              flush=True)
+        time.sleep(wait)
+        if "--resume" not in cmd:
+            cmd = cmd + ["--resume"]
+    return rc
 
 
 def main():
@@ -34,7 +69,31 @@ def main():
     p.add_argument("--workers", type=int, default=None,
                    help="ray-pregeneration processes (default: "
                         "DATALOADER.NUM_WORKERS capped at host CPUs)")
+    p.add_argument("--auto-restart", type=int, default=0, metavar="N",
+                   help="supervise the run: relaunch with --resume up to N "
+                        "times after a crash (TPU worker death, tunnel "
+                        "outage); at most one checkpoint segment is lost")
     args = p.parse_args()
+
+    if args.auto_restart > 0:
+        # Supervisor process: spawn the actual run as a child (this process
+        # must never initialize the TPU backend — one TPU process at a
+        # time). The child inherits all flags except --auto-restart; after
+        # the first crash --resume is appended so retries continue from the
+        # newest (possibly mid-epoch) checkpoint.
+        argv, skip = [], False
+        for a in sys.argv[1:]:
+            if skip:
+                skip = False
+            elif a == "--auto-restart":
+                skip = True
+            elif not a.startswith("--auto-restart="):
+                argv.append(a)
+        sys.exit(supervise([sys.executable, "-u", os.path.abspath(__file__)]
+                           + argv, args.auto_restart))
+
+    import jax
+    import numpy as np
 
     from stnerf_tpu.config import get_cfg
     from stnerf_tpu.data import make_train_data, ViewScene
