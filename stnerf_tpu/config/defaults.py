@@ -183,6 +183,19 @@ _C.TPU.FAST_FINE_TRAIN = False
 # (which also persist as backward residuals). Same semantics, float sums
 # reassociated. Default False: the XLA cube path is the golden form.
 _C.TPU.COMPOSITOR_KERNEL = False
+# Transmittance-driven early exit for the coarse march in RENDERING
+# (inference-only approximation; the trainer always forces the exact
+# single-dispatch march). The COARSE_RAY_SAMPLING samples are evaluated
+# front-to-back in EARLY_EXIT_SEGMENTS sequential kernel dispatches; after
+# each, a layer whose OWN accumulated transmittance on a ray has saturated
+# below EARLY_EXIT_EPS skips that ray (per kernel tile) for its remaining
+# segments — those samples could contribute at most EPS to any per-layer or
+# merged output. Per-layer color/acc error is bounded by EPS (depth in
+# saturated regions by ~EPS*t_far). 0/1 disables (exact single dispatch,
+# the golden path; ref marches all samples, modeling/layered_rfrender.py
+# :382-413).
+_C.TPU.EARLY_EXIT_SEGMENTS = 0
+_C.TPU.EARLY_EXIT_EPS = 1e-3
 
 
 def get_cfg() -> CN:

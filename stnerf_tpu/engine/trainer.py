@@ -197,9 +197,12 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
     # fast_fine stays off in training unless explicitly opted in
-    # (TPU.FAST_FINE_TRAIN); see LayeredSpec.fast_fine_train
+    # (TPU.FAST_FINE_TRAIN); see LayeredSpec.fast_fine_train. The coarse
+    # early exit is inference-only, always stripped (its skip decisions
+    # depend on sigma, which would sever gradients mid-march).
     spec = dataclasses.replace(spec, use_pallas=False,
                                nosort_composite=True,
+                               coarse_exit_segments=0,
                                fast_fine=bool(spec.fast_fine_train))
     edits = EditState.identity(spec.layer_num)
 
@@ -252,9 +255,12 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # (cfg.TPU.TRAINABLE_KERNEL), the hand-differentiated SpaceNet kernel
     # (kernels.spacenet_vjp) carries the training MLP work on TPU
     # fast_fine stays off in training unless explicitly opted in
-    # (TPU.FAST_FINE_TRAIN); see LayeredSpec.fast_fine_train
+    # (TPU.FAST_FINE_TRAIN); see LayeredSpec.fast_fine_train. The coarse
+    # early exit is inference-only, always stripped (its skip decisions
+    # depend on sigma, which would sever gradients mid-march).
     spec = dataclasses.replace(spec, use_pallas=False,
                                nosort_composite=True,
+                               coarse_exit_segments=0,
                                fast_fine=bool(spec.fast_fine_train))
     edits = EditState.identity(spec.layer_num)
     # group rays by bbox-hit pattern so the fused kernel's tile-skip flags

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -109,6 +110,15 @@ class LayeredSpec:
     # in the nosort compositor (kernels/cross_trans.py): rebuild the
     # precedence masks in VMEM instead of HBM einsum cubes. Same semantics,
     # reassociated sums; the XLA cube path stays the golden form.
+    coarse_exit_segments: int = 0      # transmittance-driven early exit in
+    # the coarse march (inference-only approximation; the trainer strips
+    # it): evaluate the S1 samples front-to-back in this many sequential
+    # dispatches, and after each one skip (per kernel tile) the rays where a
+    # layer's own transmittance has saturated below coarse_exit_eps — its
+    # remaining samples could contribute at most eps to any output. 0/1 =
+    # exact single dispatch (golden; the reference marches every sample,
+    # ref: modeling/layered_rfrender.py:382-413).
+    coarse_exit_eps: float = 1e-3      # transmittance cutoff for the skip
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -141,6 +151,8 @@ class LayeredSpec:
             fine_skip_eps=float(cfg.TPU.FAST_FINE_EPS),
             fast_fine_train=cfg.TPU.FAST_FINE_TRAIN,
             compositor_kernel=cfg.TPU.COMPOSITOR_KERNEL,
+            coarse_exit_segments=int(cfg.TPU.EARLY_EXIT_SEGMENTS),
+            coarse_exit_eps=float(cfg.TPU.EARLY_EXIT_EPS),
         )
 
     def spacenet_spec(self, bkgd: bool) -> SpaceNetSpec:
@@ -414,8 +426,13 @@ def _eval_fields_fused(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
 
     bkgd_key = "bkgd_fine" if fine else "bkgd_coarse"
     bkgd_motion = ("direct" if spec.bkgd_use_deform_time else None)
+    # the background field takes tile flags too: bbox misses are rare for
+    # it, but the early-exit coarse march (render_rays) passes shrinking
+    # per-ray keeps where its transmittance has saturated — the background
+    # is the one field every ray pays for, so that is where the exit wins
     rgb0, sig0 = run(params[bkgd_key], params.get("bkgd_motion"), bkgd_motion,
-                     sn_b, xyz[0], frame_ids[:, 0])
+                     sn_b, xyz[0], frame_ids[:, 0],
+                     tile_flags(None if ray_hit is None else ray_hit[0]))
     rgbs, sigs = [rgb0], [sig0]
 
     if spec.layer_num:
@@ -723,6 +740,54 @@ def _coarse_sample(spec: LayeredSpec, scene: SceneBoxes, inputs: RayInputs,
     return jnp.stack(ts), hit.T
 
 
+def _coarse_march_segmented(params: dict, spec: LayeredSpec, xyz: jnp.ndarray,
+                            t_c: jnp.ndarray, hit: jnp.ndarray,
+                            edits: EditState, d_p: jnp.ndarray,
+                            frame_ids: jnp.ndarray):
+    """Front-to-back coarse march in ``spec.coarse_exit_segments`` sequential
+    field dispatches with transmittance-driven early exit (inference fast
+    path; see the LayeredSpec docstring). After each segment, a layer whose
+    own accumulated transmittance on a ray fell below ``coarse_exit_eps``
+    stops paying for that ray (through the per-kernel-tile flag machinery —
+    skipped tiles write zeros, and a zero-sigma sample has zero compositing
+    weight, so every downstream consumer is consistent). Exact when eps=0:
+    all keeps stay true and segments concatenate to the single-dispatch
+    outputs sample for sample.
+    """
+    lp1, _, N, S1 = xyz.shape
+    n_seg = max(1, min(spec.coarse_exit_segments, S1))
+    bounds = [round(k * S1 / n_seg) for k in range(n_seg + 1)]
+    eps = spec.coarse_exit_eps
+    log_eps = math.log(eps) if eps > 0 else -math.inf
+
+    keep = hit
+    log_t = jnp.zeros((lp1, N), t_c.dtype)
+    rgb_parts, sig_parts = [], []
+    for k in range(n_seg):
+        lo, hi = bounds[k], bounds[k + 1]
+        act = jnp.any(keep, axis=1) & (edits.visible > 0)
+        rgb_k, sig_k = _eval_fields(params, spec, xyz[..., lo:hi], d_p,
+                                    frame_ids, fine=False, active=act,
+                                    ray_hit=keep)
+        rgb_parts.append(rgb_k)
+        sig_parts.append(sig_k)
+        if k + 1 < n_seg:
+            # accumulate each layer's own log-transmittance over the segment
+            # using exactly the sigma the compositor will see (same zeroing
+            # rules: misses, hidden, t<0, near clip, density threshold) —
+            # alpha_i = 1-exp(-relu(sigma_i) * delta_i), so
+            # log T = -sum relu(sigma_i) * delta_i. The segment's last delta
+            # closes against the next segment's first t (the 1e10 boarder
+            # pad only ever applies to the final sample, never mid-march).
+            t_seg = t_c[..., lo:hi]
+            sig_m = _mask_sigma_coarse(spec, sig_k, t_seg, hit, edits)
+            delta = t_c[..., lo + 1:hi + 1] - t_seg
+            log_t = log_t - jnp.sum(jax.nn.relu(sig_m) * delta, axis=-1)
+            keep = keep & (log_t > log_eps)
+    return (jnp.concatenate(rgb_parts, axis=-1),
+            jnp.concatenate(sig_parts, axis=-1))
+
+
 def _mask_sigma_coarse(spec, sigma, t, hit, edits):
     """Zero out densities exactly as the reference's coarse stage does:
     misses & hidden layers (ref: layered_rfrender.py:397-413), performer
@@ -796,8 +861,14 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     # chunk-level skip predicate: any ray hits the (edited) bbox and the
     # layer is visible — hidden or fully-missed fields cost nothing
     active = jnp.any(hit, axis=1) & (edits.visible > 0)
-    rgb_c, sig_c_raw = _eval_fields(params, spec, xyz, d_p, inputs.frame_ids,
-                                    fine=False, active=active, ray_hit=hit)
+    if spec.coarse_exit_segments > 1:
+        rgb_c, sig_c_raw = _coarse_march_segmented(params, spec, xyz, t_c,
+                                                   hit, edits, d_p,
+                                                   inputs.frame_ids)
+    else:
+        rgb_c, sig_c_raw = _eval_fields(params, spec, xyz, d_p,
+                                        inputs.frame_ids, fine=False,
+                                        active=active, ray_hit=hit)
     sig_c = _mask_sigma_coarse(spec, sig_c_raw, t_c, hit, edits)
 
     per_layer_c = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)

@@ -436,3 +436,112 @@ class TestFastFine:
         cfg.TPU.FAST_FINE_EPS = 5e-3
         spec = LayeredSpec.from_cfg(cfg)
         assert spec.fast_fine and spec.fine_skip_eps == 5e-3
+
+
+class TestCoarseEarlyExit:
+    """Transmittance-driven early exit in the coarse march
+    (TPU.EARLY_EXIT_SEGMENTS, inference-only): the S1 samples run
+    front-to-back in N sequential dispatches and a layer whose own
+    transmittance saturated below EARLY_EXIT_EPS on a ray skips it for the
+    remaining segments. The single-dispatch march (the reference semantics,
+    ref: modeling/layered_rfrender.py:382-413) stays the golden path."""
+
+    def test_segmented_march_matches_exact_on_xla_path(self):
+        """Plumbing correctness: the XLA field path evaluates every sample
+        regardless of the keep flags (they only gate kernel tiles), so the
+        segmented march must reproduce the single dispatch exactly for any
+        eps — same samples, same math, concatenated."""
+        import dataclasses
+
+        params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        scene, inputs = make_scene(), make_rays()
+        key = jax.random.PRNGKey(11)
+        exact = render(params, SPEC, scene, inputs, EditState.identity(2),
+                       key=key)
+        for eps in (0.0, 1e-3, 0.5):
+            spec = dataclasses.replace(SPEC, coarse_exit_segments=3,
+                                       coarse_exit_eps=eps)
+            seg = render(params, spec, scene, inputs, EditState.identity(2),
+                         key=key)
+            for a, b in zip(jax.tree.leaves(exact), jax.tree.leaves(seg)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           atol=1e-6)
+
+    def test_skip_error_bounded_on_kernel_path(self, monkeypatch):
+        """On the fused kernel path (interpret mode) the skip is real:
+        with densities biased high every layer's transmittance saturates
+        within the first segment, later segments' tiles are skipped, and
+        the outputs must differ from the exact march by at most ~eps per
+        layer (a skipped sample's compositing weight is below the layer's
+        saturated transmittance)."""
+        import dataclasses
+
+        from stnerf_tpu.kernels import fused_field as ff_mod
+        from stnerf_tpu.models import layered as layered_mod
+
+        orig = ff_mod.fused_field
+        monkeypatch.setattr(
+            ff_mod, "fused_field",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        monkeypatch.setattr(layered_mod, "_use_fused_kernel", lambda s: True)
+
+        eps = 1e-3
+        spec = dataclasses.replace(SPEC, coarse_exit_segments=4,
+                                   coarse_exit_eps=eps, use_pallas=True)
+        exact_spec = dataclasses.replace(spec, coarse_exit_segments=0)
+        params = init_layered_params(jax.random.PRNGKey(2), spec)
+        # bias density so the background transmittance crosses eps midway
+        # through the march (bias +1.5 * delta ~1.4 => logT ~ -2.1/sample:
+        # saturation at sample ~4 of 8). A much larger bias saturates so
+        # hard the skipped samples' true contribution falls below the f32
+        # resolution of the color sum and the diff reads exactly 0.
+        for k in ("layers_coarse", "layers_fine", "bkgd_coarse", "bkgd_fine"):
+            params[k]["density"][0]["b"] = params[k]["density"][0]["b"] + 1.5
+        scene, inputs = make_scene(), make_rays()
+        key = jax.random.PRNGKey(5)
+        # jit fresh (monkeypatched callee must not hit render's jit cache)
+        run = jax.jit(render_rays, static_argnames=("spec", "only_coarse"))
+        fast = run(params, spec, scene, inputs, EditState.identity(2), key=key)
+        exact = run(params, exact_spec, scene, inputs, EditState.identity(2),
+                    key=key)
+        d_color = np.abs(np.asarray(fast.coarse.color)
+                         - np.asarray(exact.coarse.color))
+        d_acc = np.abs(np.asarray(fast.coarse_layers.acc)
+                       - np.asarray(exact.coarse_layers.acc))
+        # the skip engaged (saturated tails were not evaluated; their true
+        # contribution at the eps boundary is ~1e-4, well above f32 ulp)
+        assert d_color.max() > 1e-6 or d_acc.max() > 1e-6
+        # ...and the error is bounded by ~(L+1) * eps
+        assert d_color.max() < 4 * eps
+        assert d_acc.max() < 4 * eps
+        for leaf in jax.tree.leaves(fast):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    def test_trainer_strips_early_exit(self):
+        import dataclasses
+
+        from stnerf_tpu.config import get_cfg
+        from stnerf_tpu.engine import make_optimizer, make_train_step
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+        spec = dataclasses.replace(SPEC, coarse_exit_segments=3)
+        step = make_train_step(spec, make_optimizer(cfg))
+        cells = {c.cell_contents.coarse_exit_segments
+                 for c in step.__wrapped__.__closure__ or ()
+                 if isinstance(c.cell_contents, LayeredSpec)}
+        assert cells == {0}
+
+    def test_from_cfg_plumbs_early_exit(self):
+        from stnerf_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        assert LayeredSpec.from_cfg(cfg).coarse_exit_segments == 0  # default
+        cfg.TPU.EARLY_EXIT_SEGMENTS = 3
+        cfg.TPU.EARLY_EXIT_EPS = 2e-3
+        spec = LayeredSpec.from_cfg(cfg)
+        assert spec.coarse_exit_segments == 3
+        assert spec.coarse_exit_eps == 2e-3
