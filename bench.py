@@ -126,7 +126,18 @@ def train_throughput():
 def main():
     import numpy as np
 
-    from stnerf_tpu.utils import enable_compilation_cache
+    from stnerf_tpu.utils import enable_compilation_cache, tpu_reachable
+    # fail fast instead of hanging: with the tunneled-TPU plugin registered
+    # and the tunnel down, the first device op blocks indefinitely in
+    # native backend init — probe in a bounded subprocess first. Retries
+    # ride out another process briefly holding the single-tenancy device.
+    if not tpu_reachable(attempts=6):
+        print(json.dumps({
+            "metric": "layered_render_throughput_1080p", "value": 0.0,
+            "unit": "Mrays/sec/chip", "vs_baseline": 0.0,
+            "error": "TPU tunnel unreachable (backend init would hang); "
+                     "rerun when the device is back"}))
+        sys.exit(1)
     enable_compilation_cache()
 
     import jax

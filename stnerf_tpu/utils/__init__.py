@@ -1,4 +1,4 @@
-from .jax_setup import enable_compilation_cache, setup_logger
+from .jax_setup import enable_compilation_cache, setup_logger, tpu_reachable
 from .misc import (add_two_dim_dict, add_three_dim_dict, vis_density,
                    corrupt_cameras)
 from .profiling import trace, phase, device_memory_stats

@@ -26,6 +26,42 @@ def enable_compilation_cache(path: str | None = None) -> None:
         logging.getLogger(__name__).warning("compilation cache unavailable: %s", e)
 
 
+def tpu_reachable(timeout_s: float = 180.0, attempts: int = 1,
+                  retry_sleep_s: float = 90.0) -> bool:
+    """Probe the device backend in a SUBPROCESS bounded by ``timeout_s``.
+
+    With the tunneled-TPU ("axon") plugin registered, backend init BLOCKS
+    indefinitely inside native code when the tunnel is down — an in-process
+    check cannot time out. Entry points that a supervisor runs unattended
+    (bench, compile checks) call this first so a dead tunnel yields a fast,
+    clear failure instead of a hang. ``attempts > 1`` retries with a sleep,
+    which also rides out a *busy* device (this runtime admits ONE TPU
+    process at a time — a second exits fast with FAILED_PRECONDITION).
+    Returns True immediately when JAX_PLATFORMS pins a non-TPU backend
+    (nothing to probe).
+    """
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "tpu" not in plats and "axon" not in plats:
+        return True
+    import subprocess
+    import sys
+    import time as _time
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jax.device_get(jnp.sum(jnp.ones((4, 4))))))")
+    for attempt in range(max(1, attempts)):
+        if attempt:
+            _time.sleep(retry_sleep_s)
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  timeout=timeout_s, capture_output=True)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
 def setup_logger(name: str = "stnerf_tpu", save_dir: str | None = None,
                  distributed_rank: int = 0) -> logging.Logger:
     """Stream+file logger (ref: utils/logger.py:12-30). ``distributed_rank``
