@@ -196,6 +196,21 @@ _C.TPU.COMPOSITOR_KERNEL = False
 # :382-413).
 _C.TPU.EARLY_EXIT_SEGMENTS = 0
 _C.TPU.EARLY_EXIT_EPS = 1e-3
+# Occupancy-driven empty-space skipping for RENDERING (inference-only
+# approximation; trained checkpoints only). Each performer's per-frame bbox
+# is shrunk to the tight hull of the voxels where its trained field has
+# relu(sigma) >= OCC_SIGMA_THRESH on an OCC_GRID^3 lattice (one dilation
+# voxel of slack, render/occupancy.py) — rays then spend their fixed sample
+# budget inside the matter, reaching the first surface at an earlier sample
+# index (composes with EARLY_EXIT_SEGMENTS) and missing tightened boxes
+# entirely more often (composes with the per-tile kernel skip). A culled
+# voxel's per-sample alpha is < 1-exp(-THRESH*delta). Refined boxes are
+# disk-cached per (checkpoint, knobs) next to the checkpoint.
+_C.TPU.OCCUPANCY_SKIP = False
+_C.TPU.OCC_GRID = 64
+_C.TPU.OCC_SIGMA_THRESH = 1.0
+_C.TPU.OCC_PAD_VOXELS = 1
+_C.TPU.OCC_BKGD = False   # also tighten the background box (usually full)
 
 
 def get_cfg() -> CN:

@@ -60,9 +60,21 @@ class LayeredNeuralRenderer:
         self.dataset = RenderScene(cfg)
         self.spec = LayeredSpec.from_cfg(cfg, camera_num=self.dataset.camera_num)
         self.scene = self.dataset.scene_boxes
+        self._ckpt_path = None
         self.params = params if params is not None else self._load_params()
+        # The scale-edit pivot comes from the ORIGINAL frame-0 boxes so edits
+        # stay reference-exact even when occupancy refinement shrinks boxes.
         self.scale_pivot = compute_scale_pivot(
             np.asarray(self.scene.bkgd_box), np.asarray(self.scene.boxes[0]))
+        if cfg.TPU.OCCUPANCY_SKIP:
+            from .occupancy import refined_boxes_cached
+            self.scene = refined_boxes_cached(
+                self.params, self.spec, self.scene,
+                cache_dir=self.dataset_dir, ckpt_path=self._ckpt_path,
+                grid=cfg.TPU.OCC_GRID,
+                sigma_thresh=cfg.TPU.OCC_SIGMA_THRESH,
+                pad_voxels=cfg.TPU.OCC_PAD_VOXELS,
+                refine_bkgd=cfg.TPU.OCC_BKGD)
 
         ln = cfg.DATASETS.LAYER_NUM
         self.layer_num = ln
@@ -103,6 +115,7 @@ class LayeredNeuralRenderer:
                                 self.dataset_dir)
             return init_layered_params(jax.random.PRNGKey(0), self.spec)
         self.logger.info("loading checkpoint %s", path)
+        self._ckpt_path = path
         return load_params_any(path, self.spec)
 
     # -- layer display --------------------------------------------------

@@ -1,0 +1,152 @@
+"""Occupancy-driven box refinement (render/occupancy.py): exactness at
+tau=0, containment, no-occupancy fallback, localization of a known occupied
+sub-region, and the disk cache."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stnerf_tpu.models import LayeredSpec, SceneBoxes, init_layered_params
+from stnerf_tpu.render import occupancy
+from stnerf_tpu.render.occupancy import (_shrink, refine_scene_boxes,
+                                         refined_boxes_cached)
+
+SPEC = LayeredSpec(layer_num=2, coarse_samples=8, fine_samples=4,
+                   sample_method="BBOX", use_space_time=True,
+                   use_deform_time=True, backbone_dim=16, head_dim=8,
+                   motion_dim=8, compute_dtype="float32")
+GRID = 8
+
+
+def make_scene(frames=3, zero_row=True):
+    bkgd = jnp.array([[-6.0, -6.0, -6.0], [6.0, 6.0, 6.0]])
+    boxes = np.zeros((frames, 2, 2, 3), np.float32)
+    for f in range(frames):
+        if zero_row and f == 0:
+            continue  # FRAME_OFFSET-style degenerate padding row
+        boxes[f, 0] = [[-1 + 0.1 * f, -1, 1], [1 + 0.1 * f, 1, 3]]
+        boxes[f, 1] = [[-1, 2, 1], [1, 4, 3]]
+    return SceneBoxes(bkgd, jnp.array(boxes), jnp.array([0.5, 12.0]))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+    return params, make_scene()
+
+
+def test_tau_zero_is_exact_roundtrip(setup):
+    """relu(sigma) >= 0 everywhere, so tau=0 occupies every voxel and each
+    box must come back bit-identical (the documented exactness guarantee)."""
+    params, scene = setup
+    out = refine_scene_boxes(params, SPEC, scene, grid=GRID, sigma_thresh=0.0)
+    np.testing.assert_array_equal(np.asarray(out.boxes),
+                                  np.asarray(scene.boxes))
+    np.testing.assert_array_equal(np.asarray(out.bkgd_box),
+                                  np.asarray(scene.bkgd_box))
+
+
+def test_containment_and_degenerate_rows(setup):
+    params, scene = setup
+    out = refine_scene_boxes(params, SPEC, scene, grid=GRID, sigma_thresh=0.05)
+    orig, new = np.asarray(scene.boxes), np.asarray(out.boxes)
+    assert new.shape == orig.shape
+    assert np.all(new[..., 0, :] >= orig[..., 0, :] - 1e-6)
+    assert np.all(new[..., 1, :] <= orig[..., 1, :] + 1e-6)
+    # the zero padding row is untouched
+    np.testing.assert_array_equal(new[0], orig[0])
+
+
+def test_no_occupancy_keeps_original(setup):
+    params, scene = setup
+    out = refine_scene_boxes(params, SPEC, scene, grid=GRID,
+                             sigma_thresh=1e9)
+    np.testing.assert_array_equal(np.asarray(out.boxes),
+                                  np.asarray(scene.boxes))
+
+
+def test_known_subregion_localized(setup, monkeypatch):
+    """With the field stubbed to an indicator of a known sub-box, the refined
+    box must cover it within one voxel + the dilation pad on every side."""
+    params, scene = setup
+    target_lo = np.array([-0.4, -0.5, 1.5], np.float32)
+    target_hi = np.array([0.2, 0.3, 2.1], np.float32)
+
+    def fake_spacenet(p, sspec, xyz, dirs, times, dtype=None):
+        inside = jnp.all((xyz >= target_lo[:, None, None, None])
+                         & (xyz <= target_hi[:, None, None, None]), axis=0)
+        sig = jnp.where(inside, 10.0, 0.0)
+        return jnp.zeros_like(xyz), sig
+
+    monkeypatch.setattr(occupancy, "apply_spacenet_planar", fake_spacenet)
+    # identity motion so world coords hit the indicator directly
+    monkeypatch.setattr(occupancy, "apply_motionnet_planar",
+                        lambda *a, **k: jnp.zeros_like(a[2]))
+    occupancy._occupied_extent.clear_cache()
+    try:
+        grid = 16
+        out = refine_scene_boxes(params, SPEC, scene, grid=grid,
+                                 sigma_thresh=1.0, pad_voxels=1)
+        new = np.asarray(out.boxes)[1, 0]   # frame 2, layer 1 (non-degenerate)
+        orig = np.asarray(scene.boxes)[1, 0]
+        voxel = (orig[1] - orig[0]) / grid
+        # contains the target region...
+        assert np.all(new[0] <= target_lo + 1e-5)
+        assert np.all(new[1] >= target_hi - 1e-5)
+        # ...and is tight to within (1 voxel quantization + 1 pad voxel)
+        assert np.all(new[0] >= target_lo - 2 * voxel - 1e-5)
+        assert np.all(new[1] <= target_hi + 2 * voxel + 1e-5)
+    finally:
+        occupancy._occupied_extent.clear_cache()
+
+
+def test_cache_roundtrip(setup, tmp_path):
+    params, scene = setup
+    ckpt = tmp_path / "fake.ckpt"
+    ckpt.write_bytes(b"x")
+    a = refined_boxes_cached(params, SPEC, scene, str(tmp_path), str(ckpt),
+                             grid=GRID, sigma_thresh=0.05)
+    cached = list(tmp_path.glob("occ_boxes_*.npz"))
+    assert len(cached) == 1
+    b = refined_boxes_cached(params, SPEC, scene, str(tmp_path), str(ckpt),
+                             grid=GRID, sigma_thresh=0.05)
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+
+
+def test_renderer_wiring(tmp_path_factory):
+    """TPU.OCCUPANCY_SKIP through the real renderer ctor: boxes refined,
+    contained in the originals, and the cache file lands in OUTPUT_DIR."""
+    import glob
+
+    from stnerf_tpu.data.synthetic import make_synthetic_scene, synthetic_cfg
+    from stnerf_tpu.render.renderer import LayeredNeuralRenderer
+
+    root = str(tmp_path_factory.mktemp("occ_scene"))
+    out = str(tmp_path_factory.mktemp("occ_out"))
+    make_synthetic_scene(root, width=60, height=45, num_cams=4, num_frames=2)
+    cfg = synthetic_cfg(root, 60, 45, 2)
+    cfg.OUTPUT_DIR = out
+    cfg.TPU.USE_PALLAS = False
+    cfg.TPU.COMPUTE_DTYPE = "float32"  # this CPU backend has no bf16 dot
+    cfg.TPU.OCCUPANCY_SKIP = True
+    cfg.TPU.OCC_GRID = 8
+    cfg.TPU.OCC_SIGMA_THRESH = 0.05
+    cfg.freeze()
+    r = LayeredNeuralRenderer(cfg)
+    orig = np.asarray(r.dataset.scene_boxes.boxes)
+    new = np.asarray(r.scene.boxes)
+    assert new.shape == orig.shape
+    assert np.all(new[..., 0, :] >= orig[..., 0, :] - 1e-6)
+    assert np.all(new[..., 1, :] <= orig[..., 1, :] + 1e-6)
+    assert glob.glob(os.path.join(out, "occ_boxes_*.npz"))
+
+
+def test_shrink_math():
+    box = np.array([[0.0, 0.0, 0.0], [8.0, 8.0, 8.0]], np.float32)
+    out = _shrink(box, lo_idx=[2, 0, 7], hi_idx=[5, 0, 7], grid=8, pad=1)
+    # axis 0: [2-1, 5+1+1] voxels -> [1, 7]; axis 1 clamps at 0; axis 2 at 8
+    np.testing.assert_allclose(out[0], [1.0, 0.0, 6.0])
+    np.testing.assert_allclose(out[1], [7.0, 2.0, 8.0])
