@@ -1,0 +1,159 @@
+"""A/B the inference approximation knobs on a TRAINED checkpoint.
+
+Renders one ground-truth pose of a trained scene under a ladder of render
+configurations and reports device-time throughput + PSNR against the exact
+(reference-semantics) golden path:
+
+    exact                 golden: full union fine re-evaluation, no skips
+                          (ref: modeling/layered_rfrender.py:382-606)
+    fast_fine             TPU.FAST_FINE opacity-driven fine stage
+    + early_exit          TPU.EARLY_EXIT_SEGMENTS transmittance early exit
+    + occupancy           TPU.OCCUPANCY_SKIP tightened per-frame boxes
+
+The approximations are weight-dependent (skip rates follow the trained
+density field), so unlike bench.py this harness only means anything on a
+real checkpoint — train one first (e.g. tools/train.py -c
+configs/config_synthetic.yml).
+
+Usage:
+    python tools/bench_render_ab.py -c configs/config_synthetic.yml \
+        [--width 1920 --height 1080] [--pose 0] [--frame 1] \
+        [--segments 3] [--occ-grid 64] [--occ-tau 1.0]
+
+Prints one JSON line per variant plus a summary line.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--width", type=int, default=0, help="render width (0 = SIZE_TEST)")
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--pose", type=int, default=0, help="gt camera index")
+    p.add_argument("--frame", type=int, default=1)
+    p.add_argument("--segments", type=int, default=3,
+                   help="EARLY_EXIT_SEGMENTS for the early-exit variants")
+    p.add_argument("--occ-grid", type=int, default=64)
+    p.add_argument("--occ-tau", type=float, default=1.0)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    from stnerf_tpu.utils import enable_compilation_cache, tpu_reachable
+    if not tpu_reachable(attempts=6):
+        print(json.dumps({"error": "TPU tunnel unreachable"}))
+        sys.exit(1)
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stnerf_tpu.config import get_cfg
+    from stnerf_tpu.data import RenderScene
+    from stnerf_tpu.engine.checkpoint import latest_checkpoint, load_params_any
+    from stnerf_tpu.models import EditState
+    from stnerf_tpu.models.layered import LayeredSpec
+    from stnerf_tpu.render.occupancy import refine_scene_boxes
+    from stnerf_tpu.render.pose_device import render_pose_on_device
+
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config)
+    cfg.freeze()
+
+    dataset = RenderScene(cfg)
+    spec = LayeredSpec.from_cfg(cfg, camera_num=dataset.camera_num)
+    ckpt = latest_checkpoint(cfg.OUTPUT_DIR)
+    if ckpt is None:
+        print(json.dumps({"error": f"no checkpoint under {cfg.OUTPUT_DIR}"}))
+        sys.exit(1)
+    params = load_params_any(ckpt, spec)
+    scene = dataset.scene_boxes
+
+    w0, h0 = cfg.INPUT.SIZE_TEST
+    W = args.width or w0
+    H = args.height or h0
+    K = np.array(dataset.Ks[args.pose], np.float32).copy()
+    K[0] *= W / w0
+    K[1] *= H / h0
+    c2w = np.array(dataset.poses[args.pose], np.float32)
+    if c2w.shape == (3, 4):
+        c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], 0).astype(np.float32)
+    lp1 = spec.layer_num + 1
+    fids = jnp.full((lp1,), float(args.frame), jnp.float32)
+    nf = jnp.asarray(scene.bkgd_near_far)
+    edits = EditState.identity(spec.layer_num)
+    key = jax.random.PRNGKey(1)
+    n = W * H
+    kw = dict(h=H, w=W, chunk=cfg.TPU.RENDER_CHUNK,
+              tile_cols=cfg.TPU.TILE_COLS, key=key)
+
+    occ_scene = refine_scene_boxes(params, spec, scene, grid=args.occ_grid,
+                                   sigma_thresh=args.occ_tau)
+    ov = np.prod(np.asarray(scene.boxes)[..., 1, :]
+                 - np.asarray(scene.boxes)[..., 0, :], axis=-1)
+    nv = np.prod(np.asarray(occ_scene.boxes)[..., 1, :]
+                 - np.asarray(occ_scene.boxes)[..., 0, :], axis=-1)
+    vol_ratio = float(np.sum(nv) / max(np.sum(ov), 1e-9))
+
+    fast = dataclasses.replace(spec, fast_fine=True)
+    exit_ = dataclasses.replace(fast, coarse_exit_segments=args.segments)
+    variants = [
+        ("exact", spec, scene),
+        ("fast_fine", fast, scene),
+        ("fast+early_exit", exit_, scene),
+        ("fast+exit+occupancy", exit_, occ_scene),
+        ("fast+occupancy", fast, occ_scene),
+    ]
+
+    def frame(s, sc):
+        out = render_pose_on_device(params, s, sc, jnp.asarray(K),
+                                    jnp.asarray(c2w), fids, nf, edits, **kw)
+        float(jax.device_get(jnp.sum(out.depth.astype(jnp.float32))))
+        return out
+
+    results = {}
+    ref_img = None
+    for name, s, sc in variants:
+        t0 = time.time()
+        out = frame(s, sc)
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.time()
+            out = frame(s, sc)
+            best = min(best, time.time() - t0)
+        if ref_img is None:
+            ref_img = out.color
+            psnr = float("inf")
+        else:
+            mse = jnp.mean(jnp.square((out.color.astype(jnp.float32)
+                                       - ref_img.astype(jnp.float32)) / 255.0))
+            psnr = float(jax.device_get(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
+        results[name] = {"sec_per_frame": round(best, 3),
+                         "mrays_per_s": round(n / best / 1e6, 4),
+                         "psnr_vs_exact_db": round(psnr, 1),
+                         "compile_s": round(compile_s, 1)}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    print(json.dumps({
+        "metric": "render_ab_trained",
+        "checkpoint": ckpt, "width": W, "height": H,
+        "occ_box_volume_ratio": round(vol_ratio, 4),
+        "speedup_fast": round(results["exact"]["sec_per_frame"]
+                              / results["fast_fine"]["sec_per_frame"], 3),
+        "speedup_all": round(results["exact"]["sec_per_frame"]
+                             / results["fast+exit+occupancy"]["sec_per_frame"], 3),
+        "results": results}))
+
+
+if __name__ == "__main__":
+    main()
