@@ -99,8 +99,16 @@ def _sphere_points(center, radius, n, rng):
 
 def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
                          num_cams: int = 12, num_frames: int = 5,
-                         layer_num: int = 2, seed: int = 0) -> None:
-    """Write the full dataset tree under ``root``."""
+                         layer_num: int = 2, seed: int = 0,
+                         bbox_slack: float = 0.0) -> None:
+    """Write the full dataset tree under ``root``.
+
+    ``bbox_slack`` > 0 appends invisible outlier corner points at
+    center +- radius*(1+slack) to each performer point cloud, inflating the
+    derived hull bbox without changing the rendered images — mimicking real
+    capture scenes whose per-frame point-cloud hulls are loose around
+    articulated humans (the regime TPU.OCCUPANCY_SKIP targets; the default
+    tight boxes make empty-space skipping a geometric no-op)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "pose"), exist_ok=True)
     os.makedirs(os.path.join(root, "background"), exist_ok=True)
@@ -123,9 +131,16 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
         os.makedirs(os.path.join(fdir, "labels"), exist_ok=True)
         os.makedirs(os.path.join(fdir, "pointclouds"), exist_ok=True)
         for l in range(1, layer_num + 1):
+            center = performer_center(l, frame, num_frames)
+            pts = _sphere_points(center, SPHERE_RADIUS, 1500, rng)
+            if bbox_slack > 0:
+                r = SPHERE_RADIUS * (1.0 + bbox_slack)
+                corners = center + r * np.array(
+                    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                     for sz in (-1, 1)], np.float32)
+                pts = np.concatenate([pts, corners.astype(np.float32)])
             write_ply_points(os.path.join(fdir, "pointclouds", f"{l}.ply"),
-                             _sphere_points(performer_center(l, frame, num_frames),
-                                            SPHERE_RADIUS, 1500, rng))
+                             pts)
         for cam in range(num_cams):
             rays = pixel_rays(K, poses[cam], height, width)
             rgb, label, _ = raycast(rays[:, :3], rays[:, 3:6], frame,

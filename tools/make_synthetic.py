@@ -20,13 +20,17 @@ def main():
     p.add_argument("--frames", type=int, default=5)
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bbox-slack", type=float, default=0.0,
+                   help="inflate performer hull boxes by this fraction via "
+                        "invisible outlier points (loose-box regime)")
     args = p.parse_args()
 
     from stnerf_tpu.data import make_synthetic_scene
 
     make_synthetic_scene(args.root, width=args.width, height=args.height,
                          num_cams=args.cams, num_frames=args.frames,
-                         layer_num=args.layers, seed=args.seed)
+                         layer_num=args.layers, seed=args.seed,
+                         bbox_slack=args.bbox_slack)
     print(f"synthetic scene written to {args.root}: {args.cams} cams x "
           f"{args.frames} frames x {args.layers}+1 layers at "
           f"{args.width}x{args.height}")
