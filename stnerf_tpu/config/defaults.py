@@ -211,6 +211,12 @@ _C.TPU.OCC_GRID = 64
 _C.TPU.OCC_SIGMA_THRESH = 1.0
 _C.TPU.OCC_PAD_VOXELS = 1
 _C.TPU.OCC_BKGD = False   # also tighten the background box (usually full)
+# OCC_SLICES > 1 splits each refined box into that many sub-boxes along the
+# layer's dominant occupied axis, each tightened to its own cross-extent;
+# the sampler intersects the union of slices (per-ray interval tightening
+# for articulated performers whose single AABB is loose). Exact at
+# OCC_SIGMA_THRESH = 0 (slices tile the box).
+_C.TPU.OCC_SLICES = 1
 
 
 def get_cfg() -> CN:

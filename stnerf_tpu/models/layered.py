@@ -48,7 +48,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import (ray_aabb_intersect, sample_pdf,
+from ..ops.sampling import (MISS_T, ray_aabb_intersect, sample_pdf,
                             stratified_between, stratified_near_far)
 from ..ops.volume import (composite_merged_nosort, composite_streams_nosort,
                           merge_layers_planar, sort_merge_t,
@@ -300,28 +300,38 @@ def _gather_boxes(scene: SceneBoxes, frame_ids: jnp.ndarray) -> jnp.ndarray:
     """Per-ray, per-performer bbox with linear interpolation at fractional
     frame ids (exact gather at integers; ref: layered_rfrender.py:123-127,193).
 
-    frame_ids: (N, L) 1-based -> (N, L, 2, 3).
+    frame_ids: (N, L) 1-based -> (N, L, 2, 3), or (N, L, K, 2, 3) when the
+    scene carries occupancy sub-boxes (render/occupancy.py ``slices > 1``;
+    slice index corresponds across frames, so the lerp stays per-slice).
     """
     F = scene.boxes.shape[0]
     idx = frame_ids - 1.0
     lo = jnp.clip(jnp.floor(idx), 0, F - 1)
     hi = jnp.clip(lo + 1, 0, F - 1)
     w = jnp.clip(idx - lo, 0.0, 1.0)[..., None, None]
+    if scene.boxes.ndim == 5:
+        w = w[..., None]
     li = lo.astype(jnp.int32)
     hi = hi.astype(jnp.int32)
     lidx = jnp.arange(scene.boxes.shape[1])[None, :]
-    b_lo = scene.boxes[li, lidx]  # (N, L, 2, 3)
+    b_lo = scene.boxes[li, lidx]  # (N, L, [K,] 2, 3)
     b_hi = scene.boxes[hi, lidx]
     return (1.0 - w) * b_lo + w * b_hi
 
 
 def _edit_boxes(boxes: jnp.ndarray, edits: EditState) -> jnp.ndarray:
     """Forward transform of layer bboxes by the scale/shift edits
-    (ref: layered_rfrender.py:230-243). boxes: (N, L+1, 2, 3)."""
+    (ref: layered_rfrender.py:230-243). boxes: (N, L+1, [K,] 2, 3) — the
+    optional K axis carries occupancy sub-boxes (render/occupancy.py)."""
     pivot = edits.scale_pivot
-    s = edits.scale[None, :, None, None]
+    if boxes.ndim == 5:  # sub-box slice axis
+        s = edits.scale[None, :, None, None, None]
+        shift = edits.shift[None, :, None, None, :]
+    else:
+        s = edits.scale[None, :, None, None]
+        shift = edits.shift[None, :, None, :]
     boxes = (boxes - pivot) * s + pivot
-    return boxes + edits.shift[None, :, None, :]
+    return boxes + shift
 
 
 def _inverse_edit_points(xyz: jnp.ndarray, edits: EditState) -> jnp.ndarray:
@@ -726,10 +736,31 @@ def _coarse_sample(spec: LayeredSpec, scene: SceneBoxes, inputs: RayInputs,
         return jnp.stack(ts), jnp.ones((lp1, N), bool)
 
     # BBOX: slab test per layer, stratified bins between entry and exit.
-    o_b = jnp.broadcast_to(inputs.rays_o[:, None, :], (N, lp1, 3))
-    d_b = jnp.broadcast_to(inputs.rays_d[:, None, :], (N, lp1, 3))
-    t_near, t_far, hit = ray_aabb_intersect(o_b, d_b, boxes_all[..., 0, :],
-                                            boxes_all[..., 1, :])  # (N, L+1)
+    if boxes_all.ndim == 5:
+        # occupancy sub-box slices (N, L+1, K, 2, 3): intersect each slice
+        # and take the union interval [min enter, max exit] over hit slices.
+        # Rays that clip only the empty corners of the loose hull now miss
+        # (more per-tile kernel skips); hitting rays get a tighter interval
+        # so the fixed sample budget lands on the matter. Exact when the
+        # slices tile the original box (render/occupancy.py, tau=0): the
+        # union interval is bitwise the single-box interval (same binding
+        # slab planes).
+        K = boxes_all.shape[2]
+        o_b = jnp.broadcast_to(inputs.rays_o[:, None, None, :], (N, lp1, K, 3))
+        d_b = jnp.broadcast_to(inputs.rays_d[:, None, None, :], (N, lp1, K, 3))
+        t_n, t_f, h = ray_aabb_intersect(o_b, d_b, boxes_all[..., 0, :],
+                                         boxes_all[..., 1, :])  # (N, L+1, K)
+        big = jnp.asarray(3.4e38, t_n.dtype)
+        hit = jnp.any(h, axis=2)
+        t_near = jnp.min(jnp.where(h, t_n, big), axis=2)
+        t_far = jnp.max(jnp.where(h, t_f, -big), axis=2)
+        t_near = jnp.where(hit, t_near, MISS_T)
+        t_far = jnp.where(hit, t_far, MISS_T)
+    else:
+        o_b = jnp.broadcast_to(inputs.rays_o[:, None, :], (N, lp1, 3))
+        d_b = jnp.broadcast_to(inputs.rays_d[:, None, :], (N, lp1, 3))
+        t_near, t_far, hit = ray_aabb_intersect(
+            o_b, d_b, boxes_all[..., 0, :], boxes_all[..., 1, :])  # (N, L+1)
     # Background entry clamp: never start behind the camera
     # (ref: layers/RaySamplePoint.py:93-95).
     t_near = t_near.at[:, 0].set(jnp.where(t_near[:, 0] <= 0, 0.0, t_near[:, 0]))
@@ -833,9 +864,13 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
 
     # Per-ray layer bboxes (+ background), then the forward edit transform.
     if L:
-        boxes_l = _gather_boxes(scene, inputs.frame_ids[:, 1:])  # (N, L, 2, 3)
+        boxes_l = _gather_boxes(scene, inputs.frame_ids[:, 1:])
+        # (N, L, 2, 3), or (N, L, K, 2, 3) with occupancy sub-box slices —
+        # the background keeps one box, replicated over K (duplicate slices
+        # union to the same interval in _coarse_sample)
+        bshape = (N, 1) + boxes_l.shape[2:]
         boxes_all = jnp.concatenate(
-            [jnp.broadcast_to(scene.bkgd_box, (N, 1, 2, 3)), boxes_l], axis=1)
+            [jnp.broadcast_to(scene.bkgd_box, bshape), boxes_l], axis=1)
     else:
         boxes_all = jnp.broadcast_to(scene.bkgd_box, (N, 1, 2, 3))
     boxes_all = _edit_boxes(boxes_all, edits)

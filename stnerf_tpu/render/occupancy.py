@@ -13,13 +13,18 @@ earlier sample index (more early-exit skips, see
 ``LayeredSpec.coarse_exit_segments``), fewer kernel tiles hit the box at all
 (more per-tile skips), and the importance distribution sharpens.
 
-This is a data-level refinement: it returns a new ``SceneBoxes`` and nothing
-in the render path changes. It is an opt-in approximation
-(``TPU.OCCUPANCY_SKIP``) because sample *positions* move — the error is
-bounded by the sigma threshold (a culled voxel contributes alpha
-< 1 - exp(-tau * delta) per sample). ``tau=0`` is exact by construction:
-relu(sigma) >= 0 everywhere, so every voxel is occupied and each box
-round-trips to itself.
+This is a data-level refinement: it returns a new ``SceneBoxes``. With
+``slices == 1`` nothing in the render path changes; ``slices > 1``
+(``TPU.OCC_SLICES``) additionally splits each box into sub-boxes along the
+layer's dominant occupied axis and the sampler intersects their union
+(models/layered._coarse_sample recognises the extra box rank) — per-ray
+interval tightening for articulated performers whose single AABB is loose.
+It is an opt-in approximation (``TPU.OCCUPANCY_SKIP``) because sample
+*positions* move — the error is bounded by the sigma threshold (a culled
+voxel contributes alpha < 1 - exp(-tau * delta) per sample). ``tau=0`` is
+exact by construction: relu(sigma) >= 0 everywhere, so every voxel is
+occupied, each box round-trips to itself, and slices tile the box (their
+union interval is bitwise the single-box interval).
 
 View deformation (``use_deform_view``) is camera-dependent and ignored here;
 the dilation voxel absorbs sub-voxel flow. Time deformation (MotionNet) IS
@@ -53,20 +58,26 @@ def _grid_points(box: jnp.ndarray, grid: int) -> jnp.ndarray:
     return jnp.stack([gx, gy, gz])
 
 
-def _axis_extent(occ: jnp.ndarray, axis: int, grid: int):
-    """(lo_idx, hi_idx) of the occupied span along ``axis`` of a bool cube."""
-    line = jnp.any(occ, axis=tuple(a for a in range(3) if a != axis))  # (G,)
-    lo = jnp.argmax(line)
-    hi = grid - 1 - jnp.argmax(line[::-1])
-    return lo, hi
+def _extent_from_cube(occ: np.ndarray):
+    """Host: (lo_idx (3,), hi_idx (3,), any_occ) of a bool cube's occupied
+    span along each axis."""
+    if not occ.any():
+        return np.zeros(3, np.int64), np.zeros(3, np.int64), False
+    los, his = [], []
+    for axis in range(3):
+        line = occ.any(axis=tuple(a for a in range(3) if a != axis))
+        idx = np.nonzero(line)[0]
+        los.append(idx[0])
+        his.append(idx[-1])
+    return np.asarray(los), np.asarray(his), True
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "bkgd", "grid"))
-def _occupied_extent(net_params: dict, spec: LayeredSpec, box: jnp.ndarray,
-                     frame_id: jnp.ndarray, tau: jnp.ndarray, *,
-                     bkgd: bool, grid: int):
+def _occupancy_cube(net_params: dict, spec: LayeredSpec, box: jnp.ndarray,
+                    frame_id: jnp.ndarray, tau: jnp.ndarray, *,
+                    bkgd: bool, grid: int):
     """Evaluate a layer's field(s) on a ``grid``^3 lattice inside ``box`` and
-    return (lo_idx (3,), hi_idx (3,), any_occ ()) of the sigma >= tau region.
+    return the bool occupancy cube of the sigma >= tau region (G, G, G).
 
     ``net_params``: {"coarse": pytree, "fine": pytree or None,
     "motion": pytree or None} for ONE layer. ``box`` (2, 3) and ``frame_id``
@@ -94,9 +105,7 @@ def _occupied_extent(net_params: dict, spec: LayeredSpec, box: jnp.ndarray,
     if net_params.get("fine") is not None:
         sig = jnp.maximum(sig, sigma_of(net_params["fine"]))
 
-    occ = sig >= tau                                 # (G, G, G)
-    los, his = zip(*(_axis_extent(occ, a, grid) for a in range(3)))
-    return jnp.stack(los), jnp.stack(his), jnp.any(occ)
+    return sig >= tau                                # (G, G, G)
 
 
 def _shrink(box: np.ndarray, lo_idx, hi_idx, grid: int, pad: int) -> np.ndarray:
@@ -127,59 +136,122 @@ def _bkgd_net_params(params: dict, spec: LayeredSpec) -> dict:
     }
 
 
+def _slice_boxes(box: np.ndarray, occ: np.ndarray, axis: int, slices: int,
+                 grid: int, pad: int) -> np.ndarray:
+    """Host: split ``box``'s occupied span along ``axis`` into ``slices``
+    index chunks and tighten each chunk's cross-axes extent -> (K, 2, 3).
+
+    An empty chunk collapses to a zero-volume point box (slab test misses it;
+    ``t_far > t_near`` is false at zero extent), placed at the chunk's center
+    so fractional-frame box lerp stays local.
+    """
+    lo_i, hi_i, _ = _extent_from_cube(occ)
+    span0, span1 = int(lo_i[axis]), int(hi_i[axis]) + 1
+    bounds = np.linspace(span0, span1, slices + 1).round().astype(int)
+    out = np.empty((slices, 2, 3), np.float32)
+    for k in range(slices):
+        a, b = bounds[k], max(bounds[k + 1], bounds[k] + 1)
+        sub = np.take(occ, np.arange(a, min(b, grid)), axis=axis)
+        s_lo, s_hi, any_occ = _extent_from_cube(sub)
+        if any_occ:
+            s_lo = s_lo.copy()
+            s_hi = s_hi.copy()
+            s_lo[axis] += a
+            s_hi[axis] += a
+            out[k] = _shrink(box, s_lo, s_hi, grid, pad)
+        else:
+            center = 0.5 * (_shrink(box, lo_i, hi_i, grid, pad).sum(0))
+            voxel = (box[1] - box[0]) / grid
+            center[axis] = box[0, axis] + 0.5 * (a + b) * voxel[axis]
+            out[k] = np.stack([center, center])
+    return out
+
+
 def refine_scene_boxes(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                        grid: int = 64, sigma_thresh: float = 1.0,
                        pad_voxels: int = 1,
-                       refine_bkgd: bool = False) -> SceneBoxes:
+                       refine_bkgd: bool = False,
+                       slices: int = 1) -> SceneBoxes:
     """Return ``scene`` with each per-frame performer box (and optionally the
     background box) shrunk to the trained field's occupied region.
+
+    ``slices > 1`` additionally splits each refined box into ``slices``
+    sub-boxes along the layer's dominant occupied axis (chosen once per layer
+    so slices correspond across frames for the fractional-frame lerp),
+    each tightened to its own cross-extent — ``scene.boxes`` then has shape
+    ``(F, L, K, 2, 3)`` and the sampler intersects the union of slices
+    (models/layered._coarse_sample): rays clipping an empty corner of the
+    loose hull miss entirely (more per-tile kernel skips) and hitting rays
+    get a tighter [enter, exit] interval, so the fixed sample budget lands
+    on the matter. Exact at ``sigma_thresh=0``: every voxel is occupied,
+    slices partition the box, and their union interval is the box's.
 
     Degenerate rows (zero boxes from ``FRAME_OFFSET`` padding) and layers
     with no occupancy above ``sigma_thresh`` keep their original box — a
     mis-set threshold degrades to the exact baseline instead of deleting a
-    performer.
+    performer (replicated across slices when ``slices > 1``).
     """
     boxes = np.asarray(scene.boxes).copy()           # (F, L, 2, 3)
     F, L = boxes.shape[:2]
+    K = max(1, int(slices))
     tau = jnp.float32(sigma_thresh)
     shrunk = total = 0
     vol = lambda b: float(np.prod(np.maximum(b[1] - b[0], 0.0)))
+    # default: original box replicated across slices (exact union)
+    sliced = np.repeat(boxes[:, :, None], K, axis=2)  # (F, L, K, 2, 3)
 
     for layer in range(1, L + 1):
         net = _layer_net_params(params, spec, layer)
+        cubes: dict[int, np.ndarray] = {}
         for f in range(F):
             box = boxes[f, layer - 1]
             if not np.all(box[1] > box[0]):
                 continue                             # FRAME_OFFSET zero row
             total += 1
-            lo_i, hi_i, any_occ = _occupied_extent(
+            occ = np.asarray(_occupancy_cube(
                 net, spec, jnp.asarray(box), jnp.float32(f + 1), tau,
-                bkgd=False, grid=grid)
-            if not bool(any_occ):
+                bkgd=False, grid=grid))
+            lo_i, hi_i, any_occ = _extent_from_cube(occ)
+            if not any_occ:
                 logger.warning(
                     "occupancy: layer %d frame %d has no sigma >= %.3g; "
                     "keeping the original box", layer, f + 1, sigma_thresh)
                 continue
-            new = _shrink(box, np.asarray(lo_i), np.asarray(hi_i), grid,
-                          pad_voxels)
+            new = _shrink(box, lo_i, hi_i, grid, pad_voxels)
             if vol(new) < vol(box):
                 shrunk += 1
             boxes[f, layer - 1] = new
+            if K > 1:
+                cubes[f] = occ
+        if K > 1 and cubes:
+            # dominant occupied axis, summed in world units over frames
+            lengths = np.zeros(3)
+            for f, occ in cubes.items():
+                lo_i, hi_i, _ = _extent_from_cube(occ)
+                voxel = ((np.asarray(scene.boxes)[f, layer - 1, 1]
+                          - np.asarray(scene.boxes)[f, layer - 1, 0]) / grid)
+                lengths += (hi_i - lo_i + 1) * voxel
+            axis = int(np.argmax(lengths))
+            for f, occ in cubes.items():
+                sliced[f, layer - 1] = _slice_boxes(
+                    np.asarray(scene.boxes)[f, layer - 1], occ, axis, K,
+                    grid, pad_voxels)
 
     bkgd_box = np.asarray(scene.bkgd_box)
     if refine_bkgd:
-        lo_i, hi_i, any_occ = _occupied_extent(
+        occ = np.asarray(_occupancy_cube(
             _bkgd_net_params(params, spec), spec, jnp.asarray(bkgd_box),
-            jnp.float32(1.0), tau, bkgd=True, grid=grid)
-        if bool(any_occ):
-            bkgd_box = _shrink(bkgd_box, np.asarray(lo_i), np.asarray(hi_i),
-                               grid, pad_voxels)
+            jnp.float32(1.0), tau, bkgd=True, grid=grid))
+        lo_i, hi_i, any_occ = _extent_from_cube(occ)
+        if any_occ:
+            bkgd_box = _shrink(bkgd_box, lo_i, hi_i, grid, pad_voxels)
 
     if total:
         logger.info("occupancy: tightened %d/%d performer boxes (grid %d, "
-                    "tau %.3g)", shrunk, total, grid, sigma_thresh)
+                    "tau %.3g, slices %d)", shrunk, total, grid,
+                    sigma_thresh, K)
     return SceneBoxes(bkgd_box=jnp.asarray(bkgd_box),
-                      boxes=jnp.asarray(boxes),
+                      boxes=jnp.asarray(sliced if K > 1 else boxes),
                       bkgd_near_far=scene.bkgd_near_far)
 
 
@@ -187,7 +259,8 @@ def refined_boxes_cached(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                          cache_dir: str, ckpt_path: str | None,
                          grid: int = 64, sigma_thresh: float = 1.0,
                          pad_voxels: int = 1,
-                         refine_bkgd: bool = False) -> SceneBoxes:
+                         refine_bkgd: bool = False,
+                         slices: int = 1) -> SceneBoxes:
     """Disk-cached :func:`refine_scene_boxes`.
 
     The cache key covers the checkpoint identity (path + mtime) and every
@@ -197,7 +270,8 @@ def refined_boxes_cached(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     if ckpt_path and os.path.exists(ckpt_path):
         tag = f"{os.path.basename(ckpt_path)}_{int(os.path.getmtime(ckpt_path))}"
     name = (f"occ_boxes_{tag}_g{grid}_t{sigma_thresh:g}_p{pad_voxels}"
-            f"_b{int(refine_bkgd)}.npz")
+            f"_b{int(refine_bkgd)}"
+            + (f"_k{slices}" if slices > 1 else "") + ".npz")
     path = os.path.join(cache_dir, name)
     if os.path.exists(path):
         data = np.load(path)
@@ -208,7 +282,8 @@ def refined_boxes_cached(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     refined = refine_scene_boxes(params, spec, scene, grid=grid,
                                  sigma_thresh=sigma_thresh,
                                  pad_voxels=pad_voxels,
-                                 refine_bkgd=refine_bkgd)
+                                 refine_bkgd=refine_bkgd,
+                                 slices=slices)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez(path, bkgd_box=np.asarray(refined.bkgd_box),

@@ -74,7 +74,8 @@ class LayeredNeuralRenderer:
                 grid=cfg.TPU.OCC_GRID,
                 sigma_thresh=cfg.TPU.OCC_SIGMA_THRESH,
                 pad_voxels=cfg.TPU.OCC_PAD_VOXELS,
-                refine_bkgd=cfg.TPU.OCC_BKGD)
+                refine_bkgd=cfg.TPU.OCC_BKGD,
+                slices=cfg.TPU.OCC_SLICES)
 
         ln = cfg.DATASETS.LAYER_NUM
         self.layer_num = ln

@@ -85,7 +85,7 @@ def test_known_subregion_localized(setup, monkeypatch):
     # identity motion so world coords hit the indicator directly
     monkeypatch.setattr(occupancy, "apply_motionnet_planar",
                         lambda *a, **k: jnp.zeros_like(a[2]))
-    occupancy._occupied_extent.clear_cache()
+    occupancy._occupancy_cube.clear_cache()
     try:
         grid = 16
         out = refine_scene_boxes(params, SPEC, scene, grid=grid,
@@ -100,7 +100,7 @@ def test_known_subregion_localized(setup, monkeypatch):
         assert np.all(new[0] >= target_lo - 2 * voxel - 1e-5)
         assert np.all(new[1] <= target_hi + 2 * voxel + 1e-5)
     finally:
-        occupancy._occupied_extent.clear_cache()
+        occupancy._occupancy_cube.clear_cache()
 
 
 def test_cache_roundtrip(setup, tmp_path):
@@ -142,6 +142,82 @@ def test_renderer_wiring(tmp_path_factory):
     assert np.all(new[..., 0, :] >= orig[..., 0, :] - 1e-6)
     assert np.all(new[..., 1, :] <= orig[..., 1, :] + 1e-6)
     assert glob.glob(os.path.join(out, "occ_boxes_*.npz"))
+
+
+def test_slices_tau_zero_render_bit_exact(setup):
+    """OCC_SLICES at tau=0: every voxel is occupied, so the K slices tile
+    each original box and the sampler's union interval [min enter, max exit]
+    is bitwise the single-box interval (same binding slab planes) — the
+    whole render must be identical, including the degenerate padding row
+    (K duplicate zero boxes all miss)."""
+    from stnerf_tpu.models import EditState, RayInputs, render_rays
+
+    params, scene = setup
+    sliced = refine_scene_boxes(params, SPEC, scene, grid=GRID,
+                                sigma_thresh=0.0, slices=3)
+    assert np.asarray(sliced.boxes).shape == (3, 2, 3, 2, 3)
+
+    n = 12
+    o = np.tile(np.array([[0.0, 0.0, -5.0]], np.float32), (n, 1))
+    d = np.stack([np.linspace(-0.5, 0.5, n).astype(np.float32),
+                  np.linspace(-0.2, 0.6, n).astype(np.float32),
+                  np.ones(n, np.float32)], axis=1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    inputs = RayInputs(jnp.array(o), jnp.array(d),
+                       jnp.full((n, 3), 2.0, jnp.float32),
+                       jnp.zeros((n,), jnp.float32),
+                       jnp.tile(jnp.array([[0.5, 12.0]], jnp.float32), (n, 1)))
+    render = jax.jit(render_rays, static_argnames=("spec", "only_coarse"))
+    a = render(params, SPEC, scene, inputs, EditState.identity(2),
+               key=jax.random.PRNGKey(3))
+    b = render(params, SPEC, sliced, inputs, EditState.identity(2),
+               key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.fine.color),
+                                  np.asarray(b.fine.color))
+    np.testing.assert_array_equal(np.asarray(a.fine.depth),
+                                  np.asarray(b.fine.depth))
+
+
+def test_slices_localize_two_blobs(setup, monkeypatch):
+    """With the field stubbed to two blobs at opposite ends of the box, the
+    slices along the dominant axis must cut out the empty middle: union
+    slice volume < single-AABB volume, and each blob stays covered."""
+    params, scene = setup
+    blob_a = (np.array([-0.9, -0.9, 1.1], np.float32),
+              np.array([-0.5, -0.5, 1.5], np.float32))
+    blob_b = (np.array([0.5, 0.5, 2.5], np.float32),
+              np.array([0.9, 0.9, 2.9], np.float32))
+
+    def fake_spacenet(p, sspec, xyz, dirs, times, dtype=None):
+        def inside(lo, hi):
+            return jnp.all((xyz >= lo[:, None, None, None])
+                           & (xyz <= hi[:, None, None, None]), axis=0)
+        sig = jnp.where(inside(*blob_a) | inside(*blob_b), 10.0, 0.0)
+        return jnp.zeros_like(xyz), sig
+
+    monkeypatch.setattr(occupancy, "apply_spacenet_planar", fake_spacenet)
+    monkeypatch.setattr(occupancy, "apply_motionnet_planar",
+                        lambda *a, **k: jnp.zeros_like(a[2]))
+    occupancy._occupancy_cube.clear_cache()
+    try:
+        grid, K = 16, 4
+        out = refine_scene_boxes(params, SPEC, scene, grid=grid,
+                                 sigma_thresh=1.0, pad_voxels=0, slices=K)
+        new = np.asarray(out.boxes)[1, 0]      # (K, 2, 3): frame 2, layer 1
+        orig = np.asarray(scene.boxes)[1, 0]
+        vol = lambda b: np.prod(np.maximum(b[..., 1, :] - b[..., 0, :], 0.0),
+                                axis=-1)
+        aabb_vol = vol(np.stack([new[:, 0].min(0), new[:, 1].max(0)]))
+        assert vol(new).sum() < 0.5 * aabb_vol
+        # both blobs covered by some slice (within one voxel quantization)
+        voxel = (orig[1] - orig[0]) / grid
+        for lo, hi in (blob_a, blob_b):
+            covered = np.any(np.all(new[:, 0] <= lo + voxel, axis=1)
+                             & np.all(new[:, 1] >= hi - voxel, axis=1))
+            assert covered
+    finally:
+        occupancy._occupancy_cube.clear_cache()
 
 
 def test_shrink_math():

@@ -44,6 +44,8 @@ def main():
                    help="EARLY_EXIT_SEGMENTS for the early-exit variants")
     p.add_argument("--occ-grid", type=int, default=64)
     p.add_argument("--occ-tau", type=float, default=1.0)
+    p.add_argument("--occ-slices", type=int, default=0,
+                   help="add a TPU.OCC_SLICES sub-box variant (0 = off)")
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
@@ -113,6 +115,12 @@ def main():
         ("fast+exit+occupancy", exit_, occ_scene),
         ("fast+occupancy", fast, occ_scene),
     ]
+    if args.occ_slices > 1:
+        sliced_scene = refine_scene_boxes(params, spec, scene,
+                                          grid=args.occ_grid,
+                                          sigma_thresh=args.occ_tau,
+                                          slices=args.occ_slices)
+        variants.append(("fast+exit+occ_slices", exit_, sliced_scene))
 
     def frame(s, sc):
         out = render_pose_on_device(params, s, sc, jnp.asarray(K),
