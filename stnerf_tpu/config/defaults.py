@@ -217,6 +217,12 @@ _C.TPU.OCC_BKGD = False   # also tighten the background box (usually full)
 # for articulated performers whose single AABB is loose). Exact at
 # OCC_SIGMA_THRESH = 0 (slices tile the box).
 _C.TPU.OCC_SLICES = 1
+# With OCC_SLICES > 1: stratify each performer's coarse budget over the
+# union MEASURE of its hit slice intervals (skip the empty gaps between
+# sub-boxes, densify samples on the matter) instead of the hull
+# [min enter, max exit]. Inert without sliced boxes; exact when slices
+# tile the box (OCC_SIGMA_THRESH = 0), see ops.sampling.stratified_union.
+_C.TPU.OCC_GAP_SKIP = False
 
 
 def get_cfg() -> CN:

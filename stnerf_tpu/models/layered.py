@@ -49,7 +49,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import (MISS_T, ray_aabb_intersect, sample_pdf,
-                            stratified_between, stratified_near_far)
+                            stratified_between, stratified_near_far,
+                            stratified_union)
 from ..ops.volume import (composite_merged_nosort, composite_streams_nosort,
                           merge_layers_planar, sort_merge_t,
                           sort_samples_planar, volume_render_planar)
@@ -119,6 +120,15 @@ class LayeredSpec:
     # exact single dispatch (golden; the reference marches every sample,
     # ref: modeling/layered_rfrender.py:382-413).
     coarse_exit_eps: float = 1e-3      # transmittance cutoff for the skip
+    occ_gap_skip: bool = False         # within-union gap skipping: when the
+    # scene carries occupancy sub-box slices (render/occupancy.py,
+    # TPU.OCC_SLICES > 1), allocate each performer's coarse samples over
+    # the UNION MEASURE of its hit slice intervals instead of the hull
+    # [min enter, max exit] — samples skip the empty gaps between slices
+    # and densify on the matter (ops.sampling.stratified_union). Inert
+    # without sliced boxes (training always gets plain boxes). Exact when
+    # the slices tile the box (occupancy tau=0): the union is one
+    # contiguous interval (fp-level, not bitwise).
 
     @classmethod
     def from_cfg(cls, cfg, camera_num: int = 0) -> "LayeredSpec":
@@ -153,6 +163,7 @@ class LayeredSpec:
             compositor_kernel=cfg.TPU.COMPOSITOR_KERNEL,
             coarse_exit_segments=int(cfg.TPU.EARLY_EXIT_SEGMENTS),
             coarse_exit_eps=float(cfg.TPU.EARLY_EXIT_EPS),
+            occ_gap_skip=cfg.TPU.OCC_GAP_SKIP,
         )
 
     def spacenet_spec(self, bkgd: bool) -> SpaceNetSpec:
@@ -756,6 +767,21 @@ def _coarse_sample(spec: LayeredSpec, scene: SceneBoxes, inputs: RayInputs,
         t_far = jnp.max(jnp.where(h, t_f, -big), axis=2)
         t_near = jnp.where(hit, t_near, MISS_T)
         t_far = jnp.where(hit, t_far, MISS_T)
+        if spec.occ_gap_skip:
+            # within-union gap skipping: stratify each performer's budget
+            # over the union MEASURE of its hit slice intervals (skipping
+            # the gaps between sub-boxes) instead of the hull interval.
+            # The background keeps the hull path: its box is replicated
+            # across K (identical slices union to the hull) and it alone
+            # carries the behind-camera entry clamp below.
+            t_near = t_near.at[:, 0].set(
+                jnp.where(t_near[:, 0] <= 0, 0.0, t_near[:, 0]))
+            keys = (jax.random.split(key, lp1) if key is not None
+                    else [None] * lp1)
+            ts = [stratified_between(t_near[:, 0], t_far[:, 0], S1, keys[0])]
+            ts += [stratified_union(t_n[:, i], t_f[:, i], h[:, i], S1, keys[i])
+                   for i in range(1, lp1)]
+            return jnp.stack(ts), hit.T
     else:
         o_b = jnp.broadcast_to(inputs.rays_o[:, None, :], (N, lp1, 3))
         d_b = jnp.broadcast_to(inputs.rays_d[:, None, :], (N, lp1, 3))

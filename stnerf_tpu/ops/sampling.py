@@ -80,6 +80,71 @@ def stratified_near_far(near: jnp.ndarray, far: jnp.ndarray, num: int,
     return lower + (upper - lower) * u
 
 
+def stratified_union(t_near: jnp.ndarray, t_far: jnp.ndarray,
+                     hit: jnp.ndarray, num: int,
+                     key: jax.Array | None = None):
+    """Stratified samples over the UNION of K per-ray intervals (gap skip).
+
+    t_near/t_far/hit: (N, K) slice-intersection intervals in arbitrary
+    order — they may overlap (occupancy sub-boxes are dilated by
+    ``pad_voxels``) or be exact duplicates (a box replicated across the
+    slice axis). Returns t: (N, num), ascending along the ray. Rays that
+    hit no interval return all MISS_T, matching
+    :func:`ray_aabb_intersect`'s sentinel.
+
+    The K intervals are union-merged (sort by entry, clamp each start to
+    the running max exit) so the sampled measure is the measure of the
+    union: stratified bins are laid over the concatenated occupied length
+    and mapped back to ray t — samples land only inside occupied slices
+    and the budget densifies on the matter. When the slices tile one box
+    (occupancy ``tau=0``) the union is a single contiguous interval and
+    this reduces to :func:`stratified_between` over [min enter, max exit]
+    (up to fp association). Sorting and gathers stay TPU-cheap: K is tiny,
+    the sort is one variadic ``lax.sort`` and the per-sample interval
+    lookup is a comparison count + one-hot contraction (same trick as
+    :func:`sample_pdf`).
+
+    Approximation note (vs sampling the hull interval): the compositor's
+    delta for the last sample before a skipped gap spans the gap, so that
+    sample's alpha is overweighted — by construction it sits in a voxel
+    the occupancy grid found BELOW tau after dilation, bounding the error
+    like the box shrink itself (see render/occupancy.py). Opt-in via
+    ``TPU.OCC_GAP_SKIP``.
+    """
+    n, K = t_near.shape
+    big = jnp.asarray(3.4e38, t_near.dtype)
+    # park misses at +inf entry / -inf exit: they sort to the tail and
+    # union-merge to zero length without poisoning the running max
+    k_n = jnp.where(hit, t_near, big)
+    k_f = jnp.where(hit, t_far, -big)
+    s_n, s_f = jax.lax.sort([k_n, k_f], dimension=1, num_keys=1)
+    run_excl = jnp.concatenate(
+        [jnp.full((n, 1), -big, t_near.dtype),
+         jax.lax.cummax(s_f, axis=1)[:, :-1]], axis=1)
+    eff_start = jnp.maximum(s_n, run_excl)
+    length = jnp.maximum(s_f - eff_start, 0.0)
+    cum = jnp.cumsum(length, axis=1)                        # (N, K) inclusive
+    total = cum[:, -1:]
+
+    bins = jnp.arange(num, dtype=t_near.dtype)[None, :]
+    if key is None:
+        u01 = jnp.full((n, num), 0.5, t_near.dtype)
+    else:
+        u01 = jax.random.uniform(key, (n, num), t_near.dtype)
+    u = (bins + u01) / num * total                          # (N, num) < total
+
+    # interval index by comparison count; u < total keeps idx in [0, K-1]
+    idx = jnp.sum((cum[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1)
+    cum_before = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
+                                 axis=1)
+    span = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    onehot = (idx[..., None] == span).astype(t_near.dtype)  # (N, num, K)
+    table = jnp.stack([eff_start, cum_before], axis=-1)     # (N, K, 2)
+    g = jnp.einsum("nsk,nkj->nsj", onehot, table)
+    t = g[..., 0] + (u - g[..., 1])
+    return jnp.where(total > 0, t, MISS_T)
+
+
 def sample_pdf(z_vals: jnp.ndarray, weights: jnp.ndarray, num: int,
                key: jax.Array | None = None):
     """Inverse-CDF importance sampling of the coarse weights.

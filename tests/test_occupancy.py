@@ -220,6 +220,113 @@ def test_slices_localize_two_blobs(setup, monkeypatch):
         occupancy._occupancy_cube.clear_cache()
 
 
+class TestStratifiedUnion:
+    """ops.sampling.stratified_union: the within-union gap-skip sampler."""
+
+    def test_single_interval_matches_between(self):
+        from stnerf_tpu.ops.sampling import (stratified_between,
+                                             stratified_union)
+        t_n = jnp.array([[1.0], [2.0]])
+        t_f = jnp.array([[4.0], [8.0]])
+        hit = jnp.ones((2, 1), bool)
+        key = jax.random.PRNGKey(5)
+        a = stratified_union(t_n, t_f, hit, 16, key)
+        b = stratified_between(t_n[:, 0], t_f[:, 0], 16, key)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_replicated_duplicates_merge(self):
+        """A box replicated across K slices (the occupancy default for
+        unrefined layers) must union to the single interval, not K copies."""
+        from stnerf_tpu.ops.sampling import (stratified_between,
+                                             stratified_union)
+        K = 4
+        t_n = jnp.tile(jnp.array([[1.5]]), (3, K))
+        t_f = jnp.tile(jnp.array([[6.5]]), (3, K))
+        hit = jnp.ones((3, K), bool)
+        a = stratified_union(t_n, t_f, hit, 8, None)
+        b = stratified_between(t_n[:, 0], t_f[:, 0], 8, None)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_gap_receives_no_samples(self):
+        """Two disjoint intervals: every sample inside one of them, none in
+        the gap, ascending order, counts proportional to interval lengths
+        (det mode), arbitrary slice order."""
+        from stnerf_tpu.ops.sampling import stratified_union
+        # deliberately unsorted: [4, 6] before [1, 2]
+        t_n = jnp.array([[4.0, 1.0]])
+        t_f = jnp.array([[6.0, 2.0]])
+        hit = jnp.ones((1, 2), bool)
+        t = np.asarray(stratified_union(t_n, t_f, hit, 12, None))[0]
+        assert np.all(np.diff(t) > 0)
+        in_a = (t >= 1.0) & (t <= 2.0)
+        in_b = (t >= 4.0) & (t <= 6.0)
+        assert np.all(in_a | in_b)
+        assert in_a.sum() == 4 and in_b.sum() == 8  # 1:2 length ratio
+
+    def test_overlapping_intervals_merge(self):
+        """Dilated sub-boxes overlap; the union measure must not double-count
+        the overlap (samples uniform over [1, 5], not denser in [2, 3])."""
+        from stnerf_tpu.ops.sampling import (stratified_between,
+                                             stratified_union)
+        t_n = jnp.array([[1.0, 2.0]])
+        t_f = jnp.array([[3.0, 5.0]])
+        hit = jnp.ones((1, 2), bool)
+        a = stratified_union(t_n, t_f, hit, 16, None)
+        b = stratified_between(jnp.array([1.0]), jnp.array([5.0]), 16, None)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_contained_and_missed_slices(self):
+        from stnerf_tpu.ops.sampling import (MISS_T, stratified_between,
+                                             stratified_union)
+        # slice 1 inside slice 0, slice 2 missed -> union is slice 0
+        t_n = jnp.array([[1.0, 2.0, -7.0]])
+        t_f = jnp.array([[5.0, 3.0, -6.0]])
+        hit = jnp.array([[True, True, False]])
+        a = stratified_union(t_n, t_f, hit, 8, None)
+        b = stratified_between(jnp.array([1.0]), jnp.array([5.0]), 8, None)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        # all slices missed -> sentinel
+        none = stratified_union(t_n, t_f, jnp.zeros((1, 3), bool), 8, None)
+        np.testing.assert_array_equal(np.asarray(none),
+                                      np.full((1, 8), MISS_T, np.float32))
+
+
+def test_gap_skip_tau_zero_render_close(setup):
+    """TPU.OCC_GAP_SKIP at tau=0: slices tile each box, the union measure is
+    the hull interval's, and the gap-skip sampler must reproduce the exact
+    render to fp tolerance (same jitter draws — both paths split the same
+    per-layer keys)."""
+    import dataclasses
+
+    from stnerf_tpu.models import EditState, RayInputs, render_rays
+
+    params, scene = setup
+    sliced = refine_scene_boxes(params, SPEC, scene, grid=GRID,
+                                sigma_thresh=0.0, slices=3)
+    spec_gap = dataclasses.replace(SPEC, occ_gap_skip=True)
+
+    n = 12
+    o = np.tile(np.array([[0.0, 0.0, -5.0]], np.float32), (n, 1))
+    d = np.stack([np.linspace(-0.5, 0.5, n).astype(np.float32),
+                  np.linspace(-0.2, 0.6, n).astype(np.float32),
+                  np.ones(n, np.float32)], axis=1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    inputs = RayInputs(jnp.array(o), jnp.array(d),
+                       jnp.full((n, 3), 2.0, jnp.float32),
+                       jnp.zeros((n,), jnp.float32),
+                       jnp.tile(jnp.array([[0.5, 12.0]], jnp.float32), (n, 1)))
+    render = jax.jit(render_rays, static_argnames=("spec", "only_coarse"))
+    a = render(params, SPEC, scene, inputs, EditState.identity(2),
+               key=jax.random.PRNGKey(3))
+    b = render(params, spec_gap, sliced, inputs, EditState.identity(2),
+               key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_allclose(np.asarray(a.fine.color),
+                               np.asarray(b.fine.color), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.fine.depth),
+                               np.asarray(b.fine.depth), atol=2e-3)
+
+
 def test_shrink_math():
     box = np.array([[0.0, 0.0, 0.0], [8.0, 8.0, 8.0]], np.float32)
     out = _shrink(box, lo_idx=[2, 0, 7], hi_idx=[5, 0, 7], grid=8, pad=1)

@@ -46,6 +46,14 @@ def main():
     p.add_argument("--occ-tau", type=float, default=1.0)
     p.add_argument("--occ-slices", type=int, default=0,
                    help="add a TPU.OCC_SLICES sub-box variant (0 = off)")
+    p.add_argument("--gap-skip", action="store_true",
+                   help="with --occ-slices: add a TPU.OCC_GAP_SKIP variant "
+                        "(stratify within the union of slice intervals)")
+    p.add_argument("--inflate", type=float, default=0.0,
+                   help="inflate every performer box about its center by "
+                        "this factor before the A/B — simulates the loose "
+                        "point-cloud hull boxes of real capture data "
+                        "(occupancy variants re-tighten from the field)")
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
@@ -79,6 +87,16 @@ def main():
         sys.exit(1)
     params = load_params_any(ckpt, spec)
     scene = dataset.scene_boxes
+    if args.inflate and args.inflate != 1.0:
+        from stnerf_tpu.models import SceneBoxes
+        b = np.asarray(scene.boxes)                   # (F, L, 2, 3)
+        center = b.mean(axis=-2, keepdims=True)
+        live = np.all(b[..., 1, :] > b[..., 0, :], axis=-1)[..., None, None]
+        scene = SceneBoxes(
+            bkgd_box=scene.bkgd_box,
+            boxes=jnp.asarray(np.where(
+                live, center + (b - center) * args.inflate, b)),
+            bkgd_near_far=scene.bkgd_near_far)
 
     w0, h0 = cfg.INPUT.SIZE_TEST
     W = args.width or w0
@@ -121,6 +139,9 @@ def main():
                                           sigma_thresh=args.occ_tau,
                                           slices=args.occ_slices)
         variants.append(("fast+exit+occ_slices", exit_, sliced_scene))
+        if args.gap_skip:
+            gap = dataclasses.replace(exit_, occ_gap_skip=True)
+            variants.append(("fast+exit+slices+gapskip", gap, sliced_scene))
 
     def frame(s, sc):
         out = render_pose_on_device(params, s, sc, jnp.asarray(K),
