@@ -131,17 +131,32 @@ def stratified_union(t_near: jnp.ndarray, t_far: jnp.ndarray,
         u01 = jnp.full((n, num), 0.5, t_near.dtype)
     else:
         u01 = jax.random.uniform(key, (n, num), t_near.dtype)
-    u = (bins + u01) / num * total                          # (N, num) < total
+    # In f32, (bins + u01)/num rounds UP to exactly 1.0 when the last bin's
+    # draw is within ~2^-18 of 1, so u would hit `total` exactly and the
+    # interval lookup would run off the end (sample emitted at t = total, a
+    # union-measure length, not a ray t). Clamp the normalized position
+    # strictly below 1 with margin 2^-20 (>> the 2^-24 f32 rounding step) so
+    # u < total for every normal positive total.
+    q = jnp.minimum((bins + u01) / num, 1.0 - 2.0 ** -20)
+    u = q * total                                           # (N, num) < total
 
-    # interval index by comparison count; u < total keeps idx in [0, K-1]
-    idx = jnp.sum((cum[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1)
+    # interval index by comparison count over the first K-1 boundaries:
+    # structurally idx <= K-1 even if u somehow reached total. Zero-length
+    # merged intervals share their boundary with the predecessor, so the
+    # count skips them for any u strictly inside the union.
+    idx = jnp.sum((cum[:, :-1, None] <= u[:, None, :]).astype(jnp.int32),
+                  axis=1)
     cum_before = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
                                  axis=1)
     span = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
     onehot = (idx[..., None] == span).astype(t_near.dtype)  # (N, num, K)
-    table = jnp.stack([eff_start, cum_before], axis=-1)     # (N, K, 2)
+    table = jnp.stack([eff_start, cum_before, length], axis=-1)  # (N, K, 3)
     g = jnp.einsum("nsk,nkj->nsj", onehot, table)
-    t = g[..., 0] + (u - g[..., 1])
+    # clamp the in-interval offset by the interval's length: t always lies
+    # inside the selected interval, so even a rounding escape cannot emit a
+    # point in a skipped gap (monotonicity in u is preserved: offset clamp
+    # only saturates at the interval's far end).
+    t = g[..., 0] + jnp.clip(u - g[..., 1], 0.0, g[..., 2])
     return jnp.where(total > 0, t, MISS_T)
 
 

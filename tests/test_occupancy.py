@@ -275,6 +275,35 @@ class TestStratifiedUnion:
         b = stratified_between(jnp.array([1.0]), jnp.array([5.0]), 16, None)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
+    def test_last_bin_draw_near_one_stays_in_union(self, monkeypatch):
+        """ADVICE r3 regression: a uniform draw within ~2^-18 of 1 in the
+        last bin used to round (bins+u)/num up to exactly 1, push u to the
+        full union measure, miss every one-hot interval and emit t = total —
+        out of ascending order and inside the skipped gap. The fix clamps the
+        normalized position below 1 and the in-interval offset by length:
+        every sample must stay inside the union and stay monotone."""
+        import stnerf_tpu.ops.sampling as sampling
+
+        worst = np.float32(1.0) - np.float32(2.0) ** -24
+
+        def draws(key, shape, dtype=jnp.float32):
+            # all bins at the worst-case draw: every sample sits at its
+            # bin's far edge, the last one at the union's far edge
+            return jnp.full(shape, worst, dtype)
+
+        monkeypatch.setattr(jax.random, "uniform", draws)
+        # intervals [1, 2] u [10, 13]: the advisor's repro emitted t = 4.0
+        # (the union measure) after samples at t ~ 12.9
+        t_n = jnp.array([[1.0, 10.0]])
+        t_f = jnp.array([[2.0, 13.0]])
+        hit = jnp.ones((1, 2), bool)
+        t = np.asarray(sampling.stratified_union(
+            t_n, t_f, hit, 64, jax.random.PRNGKey(0)))[0]
+        in_a = (t >= 1.0) & (t <= 2.0)
+        in_b = (t >= 10.0) & (t <= 13.0)
+        assert np.all(in_a | in_b), t[~(in_a | in_b)]
+        assert np.all(np.diff(t) >= 0)
+
     def test_contained_and_missed_slices(self):
         from stnerf_tpu.ops.sampling import (MISS_T, stratified_between,
                                              stratified_union)
