@@ -190,29 +190,20 @@ def composite_streams_nosort(streams, boarder_weight: float = 1e10
     N = ts[0].shape[0]
     inf = jnp.float32(3.4e38)
 
-    # Constant per-pair precedence cubes (f32 0/1): each is both the
-    # successor mask here and the cross-stream transmittance contraction
-    # operand below. Peak memory: all M*(M-1) cubes are live between the
-    # two loops and persist as backward matmul residuals —
-    # sum_{a!=b} N*S_a*S_b*4 B (~0.35 GB at M=3, N=2000, S=120), quadratic
-    # in S. Acceptable at production batch shapes; revisit (recompute cubes
-    # in the second loop under jax.checkpoint) before growing S past ~200.
+    # Per-stream union successor: from stream a at b's samples, the min of
+    # a's depths strictly/weakly after (stable order: > for a<b would skip
+    # a's own equal value, but equal values of a precede b when a<b, so the
+    # next *distinct* element is > t_b; for a>b equal values follow b, so
+    # >= t_b qualifies). Forward-only constants — the (N, S_a, S_b)
+    # comparison cubes here are temporaries, each consumed by its min().
     nxt = [jnp.concatenate([t[:, 1:], jnp.full((N, 1), inf)], -1)
-           for t in ts]                          # per-stream union successor
-    cubes = [[None] * M for _ in range(M)]       # cube[a][b]: a's sample precedes b's
+           for t in ts]
     for a in range(M):
         for b in range(M):
             if a == b:
                 continue
-            cube = ts[a][:, :, None] <= ts[b][:, None, :] if a < b else \
-                   ts[a][:, :, None] < ts[b][:, None, :]   # (N, S_a, S_b)
-            cubes[a][b] = cube.astype(jnp.float32)
-            # successor candidate from stream a at b's samples: min of a's
-            # depths strictly/weakly after (stable order: > for a<b would
-            # skip a's own equal value, but equal values of a precede b when
-            # a<b, so the next *distinct* element is > t_b; for a>b equal
-            # values follow b, so >= t_b qualifies).
-            above = jnp.where(cube, inf, ts[a][:, :, None]) if a > b else \
+            above = jnp.where(ts[a][:, :, None] >= ts[b][:, None, :],
+                              ts[a][:, :, None], inf) if a > b else \
                 jnp.where(ts[a][:, :, None] > ts[b][:, None, :],
                           ts[a][:, :, None], inf)
             nxt[b] = jnp.minimum(nxt[b], jnp.min(above, axis=1))
@@ -233,15 +224,29 @@ def composite_streams_nosort(streams, boarder_weight: float = 1e10
     # _cumprod_bounded): saturated factors reach here as exact zeros and
     # log would give -inf (0 * -inf = NaN in the backward).
     logfs = [jnp.log(jnp.maximum(f, 1e-10)) for f in fs]
-    logT = [jnp.concatenate([jnp.zeros((N, 1), lf.dtype),
-                             jnp.cumsum(lf, axis=-1)[:, :-1]], axis=-1)
-            for lf in logfs]
-    for a in range(M):
-        for b in range(M):
-            if a == b:
-                continue
-            logT[b] = logT[b] + jnp.einsum("njs,nj->ns", cubes[a][b],
-                                           logfs[a])
+
+    def _cross_logT(ts, logfs):
+        # The M*(M-1) constant precedence cubes (cube[a][b]: a's sample
+        # precedes b's, f32 0/1, (N, S_a, S_b) each) live ONLY inside this
+        # checkpointed region: each is a temporary consumed by one einsum
+        # forward, and the backward recomputes them from ts (stop-gradient
+        # constants) instead of keeping them as matmul residuals. Peak
+        # residual memory is O(sum S_i) per ray instead of quadratic in S
+        # (was ~0.35 GB of live cubes at M=3, N=2000, S=120).
+        logT = [jnp.concatenate([jnp.zeros((N, 1), lf.dtype),
+                                 jnp.cumsum(lf, axis=-1)[:, :-1]], axis=-1)
+                for lf in logfs]
+        for a in range(M):
+            for b in range(M):
+                if a == b:
+                    continue
+                cube = ts[a][:, :, None] <= ts[b][:, None, :] if a < b \
+                    else ts[a][:, :, None] < ts[b][:, None, :]
+                logT[b] = logT[b] + jnp.einsum(
+                    "njs,nj->ns", cube.astype(jnp.float32), logfs[a])
+        return tuple(logT)
+
+    logT = jax.checkpoint(_cross_logT)(tuple(ts), tuple(logfs))
 
     ws = [al * jnp.exp(lt) for al, lt in zip(alphas, logT)]   # (N, S_b) each
     color = sum(jnp.einsum("ns,cns->nc", w, jax.nn.sigmoid(r))
