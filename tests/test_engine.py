@@ -107,6 +107,7 @@ class TestCheckpoint:
         assert blob["epoch"] == 2 and blob["step"] == 500
         np.testing.assert_allclose(blob["params"]["a"], 1.0)
 
+    @pytest.mark.isolate  # imports torch: keep it out of the main process
     def test_reference_pt_roundtrip(self, tmp_path):
         from stnerf_tpu.engine import export_reference_checkpoint
         from stnerf_tpu.models.io_torch import load_reference_checkpoint
