@@ -123,6 +123,89 @@ def train_throughput():
     return exact, fast
 
 
+def trained_fast_vs_exact():
+    """Fast-vs-exact PSNR at TRAINED weights, 1080p, production knobs.
+
+    The headline ``psnr_fast_vs_exact_db`` above ties fine nets to coarse at
+    random init, which makes FAST_FINE exact by construction — it checks the
+    machinery, not the approximation (VERDICT r3 weak #3). This measures the
+    real thing: the newest trained checkpoint on disk (``STNERF_BENCH_CKPT_CFG``
+    first, else capture1080 / synthetic_loose / synthetic) rendered through
+    the production fast path (FAST_FINE + EARLY_EXIT_SEGMENTS 3) vs the exact
+    reference-semantics path at the SAME learned weights, full 1080p pose.
+    Returns None when no trained checkpoint/scene is on disk (fresh box)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stnerf_tpu.config import get_cfg
+    from stnerf_tpu.data import RenderScene
+    from stnerf_tpu.engine.checkpoint import latest_checkpoint, load_params_any
+    from stnerf_tpu.models import EditState
+    from stnerf_tpu.models.layered import LayeredSpec
+    from stnerf_tpu.render.pose_device import render_pose_on_device
+
+    candidates = [os.environ.get("STNERF_BENCH_CKPT_CFG"),
+                  "configs/config_capture1080.yml",
+                  "configs/config_synthetic_loose.yml",
+                  "configs/config_synthetic.yml"]
+    cfg = ckpt = None
+    for cfg_path in filter(None, candidates):
+        c = get_cfg()
+        try:
+            c.merge_from_file(cfg_path)
+        except FileNotFoundError:
+            continue
+        c.freeze()
+        k = latest_checkpoint(c.OUTPUT_DIR)
+        if k is not None and os.path.isdir(c.DATASETS.TRAIN):
+            cfg, ckpt = c, k
+            break
+    if cfg is None:
+        return None
+    dataset = RenderScene(cfg)
+    spec = LayeredSpec.from_cfg(cfg, camera_num=dataset.camera_num)
+    params = load_params_any(ckpt, spec)
+    scene = dataset.scene_boxes
+
+    w0, h0 = cfg.INPUT.SIZE_TEST
+    K = np.array(dataset.Ks[0], np.float32).copy()
+    K[0] *= WIDTH / w0
+    K[1] *= HEIGHT / h0
+    c2w = np.array(dataset.poses[0], np.float32)
+    if c2w.shape == (3, 4):
+        c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], 0).astype(np.float32)
+    fids = jnp.full((spec.layer_num + 1,), 1.0, jnp.float32)
+    nf = jnp.asarray(scene.bkgd_near_far)
+    edits = EditState.identity(spec.layer_num)
+    kw = dict(h=HEIGHT, w=WIDTH, chunk=CHUNK, tile_cols=TILE_COLS,
+              key=jax.random.PRNGKey(1))
+    fast = dataclasses.replace(spec, fast_fine=True, coarse_exit_segments=3)
+
+    def frame(s):
+        out = render_pose_on_device(params, s, scene, jnp.asarray(K),
+                                    jnp.asarray(c2w), fids, nf, edits, **kw)
+        float(jax.device_get(jnp.sum(out.depth.astype(jnp.float32))))
+        return out
+
+    imgs = {}
+    secs = {}
+    for name, s in (("exact", spec), ("fast", fast)):
+        frame(s)  # compile + warm
+        t0 = time.time()
+        imgs[name] = frame(s).color
+        secs[name] = time.time() - t0
+    mse = jnp.mean(jnp.square((imgs["fast"].astype(jnp.float32)
+                               - imgs["exact"].astype(jnp.float32)) / 255.0))
+    psnr = float(jax.device_get(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
+    return {"psnr_fast_vs_exact_trained_db": round(psnr, 1),
+            "trained_ckpt": ckpt,
+            "trained_sec_per_frame_fast": round(secs["fast"], 3),
+            "trained_sec_per_frame_exact": round(secs["exact"], 3)}
+
+
 def main():
     import numpy as np
 
@@ -236,6 +319,11 @@ def main():
 
     train_rays_s, train_fast_rays_s = train_throughput()
 
+    try:
+        trained = trained_fast_vs_exact()
+    except Exception as e:  # never lose the headline line to an A/B extra
+        trained = {"trained_ab_error": f"{type(e).__name__}: {e}"[:200]}
+
     rays_per_s = n / frame_s
     mrays = rays_per_s / 1e6
     print(json.dumps({
@@ -243,7 +331,8 @@ def main():
         "value": round(mrays, 4),
         "unit": "Mrays/sec/chip",
         "vs_baseline": round(rays_per_s / REF_GPU_RAYS_PER_SEC, 2),
-        "detail": {"sec_per_frame_1080p": round(frame_s, 3),
+        "detail": {**(trained or {}),
+                   "sec_per_frame_1080p": round(frame_s, 3),
                    "sec_per_frame_exact_path": round(frame_exact_s, 3),
                    "exact_mrays_per_s": round(n / frame_exact_s / 1e6, 4),
                    "psnr_fast_vs_exact_db": round(psnr_fast, 1),

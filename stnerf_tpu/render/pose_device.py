@@ -152,7 +152,12 @@ def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
             jnp.asarray(frame_ids, jnp.float32), jnp.asarray(near_far, jnp.float32),
             edits, h=h, w=w, chunk=chunk, tile_cols=tile_cols, key=key,
             shard_data=mesh is not None)
-    out = jax.device_get(out)
+    # download ONLY the leaves this wrapper returns: acc/layer_acc stay on
+    # device (~16 MB/pose at 1080p that the ~3-7 MB/s tunnel never pays for)
+    color_q, depth_q, lcolor_q, ldepth_q = jax.device_get(
+        (out.color, out.depth, out.layer_color, out.layer_depth))
+    out = out._replace(color=color_q, depth=depth_q,
+                       layer_color=lcolor_q, layer_depth=ldepth_q)
     vs, us, valid = tile_pixel_coords(h, w, chunk, tile_cols)
 
     def unscramble(flat, channels):
