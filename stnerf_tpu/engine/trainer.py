@@ -80,20 +80,27 @@ def make_decode(tables: CamTables, spec: LayeredSpec, width: int):
         ones = jnp.ones_like(u)
         pix3 = jnp.stack([u, v, ones], axis=-1)                   # (B, 3)
 
+        # HIGHEST throughout the decode: the one-hot gathers must return
+        # camera tables bit-exactly and the 3x3 dir math defines ray
+        # geometry — TPU's default bf16 matmul precision would quantize
+        # origins/rotations by ~2^-8 rel, a real geometric error at scene
+        # scale. Cost is negligible (B x M and B x 3x3 shapes).
+        hi = jax.lax.Precision.HIGHEST
         oh = jax.nn.one_hot(cam, M, dtype=jnp.float32)            # (B, M)
-        inv_K = (oh @ tables.inv_K.reshape(M, 9)).reshape(-1, 3, 3)
-        rot = (oh @ tables.rot.reshape(M, 9)).reshape(-1, 3, 3)
-        o = oh @ tables.origin                                    # (B, 3)
+        gather = functools.partial(jnp.matmul, precision=hi)
+        inv_K = gather(oh, tables.inv_K.reshape(M, 9)).reshape(-1, 3, 3)
+        rot = gather(oh, tables.rot.reshape(M, 9)).reshape(-1, 3, 3)
+        o = gather(oh, tables.origin)                             # (B, 3)
 
-        d = jnp.einsum("bij,bj->bi", inv_K, pix3)
+        d = jnp.einsum("bij,bj->bi", inv_K, pix3, precision=hi)
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        d = jnp.einsum("bij,bj->bi", rot, d)
+        d = jnp.einsum("bij,bj->bi", rot, d, precision=hi)
 
         f_dim = tables.near_far.shape[1]
         nf_idx = (rows.bbox_labels.astype(jnp.int32) * f_dim
                   + rows.frames.astype(jnp.int32)) * M + cam
-        nf = (jax.nn.one_hot(nf_idx, nf_flat.shape[0], dtype=jnp.float32)
-              @ nf_flat)                                          # (B, 2)
+        nf = gather(jax.nn.one_hot(nf_idx, nf_flat.shape[0],
+                                   dtype=jnp.float32), nf_flat)  # (B, 2)
 
         inputs = RayInputs(o, d, jnp.tile(frame[:, None], (1, lp1)),
                            cam.astype(jnp.float32), nf)

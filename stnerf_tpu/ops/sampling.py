@@ -112,7 +112,12 @@ def stratified_union(t_near: jnp.ndarray, t_far: jnp.ndarray,
     ``TPU.OCC_GAP_SKIP``.
     """
     n, K = t_near.shape
-    big = jnp.asarray(3.4e38, t_near.dtype)
+    # parking value for misses: far beyond any scene t, but comfortably
+    # finite even if a downstream op ever downcasts to bf16 (max 3.39e38 —
+    # an earlier 3.4e38 rounded to inf inside the default-precision one-hot
+    # einsum on TPU, and 0 * inf = NaN poisoned every sample of any ray
+    # with at least one missed slice; found via the loose-hull A/B, 8.6 dB)
+    big = jnp.asarray(1e30, t_near.dtype)
     # park misses at +inf entry / -inf exit: they sort to the tail and
     # union-merge to zero length without poisoning the running max
     k_n = jnp.where(hit, t_near, big)
@@ -151,7 +156,12 @@ def stratified_union(t_near: jnp.ndarray, t_far: jnp.ndarray,
     span = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
     onehot = (idx[..., None] == span).astype(t_near.dtype)  # (N, num, K)
     table = jnp.stack([eff_start, cum_before, length], axis=-1)  # (N, K, 3)
-    g = jnp.einsum("nsk,nkj->nsj", onehot, table)
+    # HIGHEST: this gather must return the table values bit-exactly — TPU's
+    # default bf16 matmul precision quantizes eff_start/cum_before (~0.4%
+    # rel), which is the same magnitude as a 48-sample stride over the
+    # union and breaks per-ray monotonicity of the emitted t
+    g = jnp.einsum("nsk,nkj->nsj", onehot, table,
+                   precision=jax.lax.Precision.HIGHEST)
     # clamp the in-interval offset by the interval's length: t always lies
     # inside the selected interval, so even a rounding escape cannot emit a
     # point in a skipped gap (monotonicity in u is preserved: offset clamp
@@ -198,7 +208,11 @@ def sample_pdf(z_vals: jnp.ndarray, weights: jnp.ndarray, num: int,
 
     def pick(idx):
         onehot = (idx[..., None] == span).astype(table.dtype)  # (N, S_f, S_c)
-        return jnp.einsum("nfc,nck->nfk", onehot, table)
+        # HIGHEST: gathered cdf values feed a (u - cdf_b)/denom with
+        # denom >= 1e-5 — bf16-default quantization (~2^-8 rel) of cdf/bins
+        # would dominate the interpolation
+        return jnp.einsum("nfc,nck->nfk", onehot, table,
+                          precision=jax.lax.Precision.HIGHEST)
 
     g_b, g_a = pick(below), pick(above)
     cdf_b, bins_b = g_b[..., 0], g_b[..., 1]

@@ -96,7 +96,8 @@ def volume_render(t: jnp.ndarray, rgb: jnp.ndarray, sigma: jnp.ndarray,
     delta = jnp.concatenate([delta, pad], axis=-1)           # (N, S)
 
     w = render_weights(sigma, delta)                          # (N, S)
-    color = jnp.einsum("ns,nsc->nc", w, jax.nn.sigmoid(rgb))
+    color = jnp.einsum("ns,nsc->nc", w, jax.nn.sigmoid(rgb),
+                       precision=jax.lax.Precision.HIGHEST)
     depth = jnp.sum(w * t, axis=-1, keepdims=True)
     acc = jnp.sum(w, axis=-1, keepdims=True)
     return RenderedRays(color, depth, acc, w[..., None])
@@ -132,7 +133,8 @@ def volume_render_planar(t: jnp.ndarray, rgb: jnp.ndarray, sigma: jnp.ndarray,
     delta = jnp.concatenate([delta, pad], axis=-1)
 
     w = render_weights(sigma, delta)                          # (N, S)
-    color = jnp.einsum("ns,cns->nc", w, jax.nn.sigmoid(rgb))
+    color = jnp.einsum("ns,cns->nc", w, jax.nn.sigmoid(rgb),
+                       precision=jax.lax.Precision.HIGHEST)
     depth = jnp.sum(w * t, axis=-1, keepdims=True)
     acc = jnp.sum(w, axis=-1, keepdims=True)
     return RenderedRays(color, depth, acc, w[..., None])
@@ -249,7 +251,8 @@ def composite_streams_nosort(streams, boarder_weight: float = 1e10
     logT = jax.checkpoint(_cross_logT)(tuple(ts), tuple(logfs))
 
     ws = [al * jnp.exp(lt) for al, lt in zip(alphas, logT)]   # (N, S_b) each
-    color = sum(jnp.einsum("ns,cns->nc", w, jax.nn.sigmoid(r))
+    color = sum(jnp.einsum("ns,cns->nc", w, jax.nn.sigmoid(r),
+                           precision=jax.lax.Precision.HIGHEST)
                 for w, r in zip(ws, rgbs))
     depth = sum(jnp.sum(w * t, axis=-1) for w, t in zip(ws, ts))[:, None]
     acc = sum(jnp.sum(w, axis=-1) for w in ws)[:, None]
@@ -342,7 +345,8 @@ def composite_merged_nosort(t: jnp.ndarray, rgb: jnp.ndarray,
         T = jnp.exp(jnp.stack(logT))
 
     w = alpha * T                                             # (L, N, S)
-    color = jnp.einsum("lns,lcns->nc", w, jax.nn.sigmoid(rgb))
+    color = jnp.einsum("lns,lcns->nc", w, jax.nn.sigmoid(rgb),
+                       precision=jax.lax.Precision.HIGHEST)
     depth = jnp.sum(w * t, axis=(0, 2))[:, None]
     acc = jnp.sum(w, axis=(0, 2))[:, None]
     weights = jnp.moveaxis(w, 0, 1).reshape(N, L * S)[..., None]

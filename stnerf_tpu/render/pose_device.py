@@ -69,7 +69,9 @@ def _device_tile_rays(K, c2w, h: int, w: int, chunk: int, tile_cols: int):
     z = jnp.ones_like(us)
     norm = jax.lax.rsqrt(x * x + y * y + z * z)
     cam = jnp.stack([x * norm, y * norm, z * norm], axis=0)   # (3, n_pad)
-    dirs = c2w[:3, :3] @ cam
+    # HIGHEST: this one matmul defines every rendered ray's direction;
+    # default bf16 MXU precision would bend rays by ~2^-8 rel
+    dirs = jnp.matmul(c2w[:3, :3], cam, precision=jax.lax.Precision.HIGHEST)
     return c2w[:3, 3], dirs
 
 
