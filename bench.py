@@ -289,9 +289,21 @@ def main():
         float(jax.device_get(jnp.sum(out.depth.astype(jnp.float32))))
         return out
 
+    # Compile timed via AOT lower+compile, SEPARATE from the first
+    # execution: round 3 reported compile_s=1379.6 while the same program
+    # cold-compiles in ~54 s (tools/compile_probe.py, cache off) — the
+    # 23 min was the first device op blocking on external contention (the
+    # single-tenancy TPU held by a stale process, or host CPU contention),
+    # not XLA. Splitting the phases makes the next such event diagnosable.
+    t0 = time.time()
+    lowered = render_pose_on_device.lower(params, spec_fast, scene,
+                                          jnp.asarray(K), jnp.asarray(c2w),
+                                          fids, nf, edits, **kw)
+    lowered.compile()  # populates jit cache via persistent compile cache
+    compile_s = time.time() - t0
     t0 = time.time()
     out_fast = frame_device(spec_fast)
-    compile_s = time.time() - t0
+    first_exec_fast_s = time.time() - t0
 
     t0 = time.time()
     out_fast = frame_device(spec_fast)
@@ -338,6 +350,7 @@ def main():
                    "psnr_fast_vs_exact_db": round(psnr_fast, 1),
                    "sec_per_frame_with_tunnel_download": round(e2e_s, 3),
                    "compile_s": round(compile_s, 1),
+                   "first_exec_fast_s": round(first_exec_fast_s, 1),
                    "compile_exact_s": round(compile_exact_s, 1),
                    "samples_per_ray": 120, "layers": 3,
                    "train_rays_per_s": round(train_rays_s),
