@@ -16,6 +16,7 @@ program is reused across the whole path.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import numpy as np
@@ -358,6 +359,7 @@ class LayeredNeuralRenderer:
         self.depths_layer = [[] for _ in range(self.layer_num + 1)]
         self.image_num = 0
 
+        path_t0 = time.time()
         for idx, pose in enumerate(self.poses):
             self.logger.info("Rendering image %d", idx)
             color, depth, color_layer, depth_layer = self.render_pose(
@@ -385,6 +387,14 @@ class LayeredNeuralRenderer:
                     self.images_layer[layer_id].append(color_layer[layer_id])
                     self.depths_layer[layer_id].append(depth_layer[layer_id])
             self.image_num += 1
+        if self.image_num:
+            elapsed = time.time() - path_t0
+            # end-to-end: device render + image download (dominant through
+            # a tunneled TPU; milliseconds on local hardware) + encode/save
+            self.logger.info(
+                "Rendered %d poses at %dx%d in %.1f s (%.2f s/pose "
+                "end-to-end)", self.image_num, self.width, self.height,
+                elapsed, elapsed / self.image_num)
 
     def render_path_walking(self, inverse_y_axis=False, density_threshold=0,
                             bkgd_density_threshold=0, auto_save=True):
