@@ -154,21 +154,17 @@ def main():
     lowered = fn.lower(params, spec, scene, K, c2w, fids, nf, edits, **kwargs)
     lower_s = time.time() - t0
     if args.hlo:
-        import collections
         txt = lowered.as_text()
-        calls = [ln for ln in txt.splitlines() if "tpu_custom_call" in ln
-                 and "call @" not in ln and "func.func" not in ln]
-        # distinct Mosaic payloads = distinct kernel compiles; identical
-        # payloads are one compile (XLA dedups by computation fingerprint)
-        payloads = collections.Counter()
-        for ln in txt.splitlines():
-            if "kernel_name" in ln or ("custom_call" in ln and
-                                       "backend_config" in ln):
-                payloads[hash(ln.split("backend_config")[-1][:4000])] += 1
+        # each distinct Mosaic payload is a separate kernel compile;
+        # call sites sharing a payload compile once
+        import re
+        sites = re.findall(r'custom_call[^\n]*?"?tpu_custom_call"?', txt)
+        payloads = set(re.findall(r'kernel_name[^,}]*', txt))
         print(json.dumps({"variant": v, "lower_s": round(lower_s, 1),
                           "hlo_lines": txt.count("\n"),
-                          "custom_call_sites": len(calls),
-                          "distinct_payloads": len(payloads),
+                          "custom_call_sites": len(sites),
+                          "distinct_kernel_names": sorted(
+                              p[:60] for p in payloads),
                           "backend": jax.default_backend()}))
         return
     t0 = time.time()
