@@ -140,13 +140,28 @@ def render_pose_on_device(params, spec: LayeredSpec, scene: SceneBoxes,
 
 def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
                      h, w, chunk=32768, tile_cols=256, key=None,
-                     far_clip=20.0, mesh=None):
+                     far_clip=20.0, mesh=None, timings=None,
+                     download_layers=None):
     """Host-facing wrapper -> (color (H,W,3), depth (H,W,1),
     color_layer list, depth_layer list), images in [0,1]. With ``mesh``,
-    rays shard across the mesh's ``data`` axis."""
+    rays shard across the mesh's ``data`` axis.
+
+    ``timings`` (optional dict) receives ``device_s`` / ``download_s`` for
+    this pose: device execution is fenced with a scalar-reduction
+    ``device_get`` (``block_until_ready`` does not block through the
+    tunneled TPU), then the image download is timed separately — the split
+    a tunnel-hosted drive needs to report honest device throughput.
+
+    ``download_layers`` (optional list of layer ids) limits the per-layer
+    image download to those layers — a drive with hidden performers never
+    saves their images, and at 1080p each skipped layer is ~10 MB/pose
+    through the ~3-7 MB/s tunnel. Skipped layers return zero images (same
+    list shape); the mixed color/depth always download."""
     import contextlib
+    import time
 
     ctx = jax.sharding.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    t0 = time.time()
     with ctx:
         out = render_pose_on_device(
             params, spec, scene,
@@ -154,12 +169,26 @@ def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
             jnp.asarray(frame_ids, jnp.float32), jnp.asarray(near_far, jnp.float32),
             edits, h=h, w=w, chunk=chunk, tile_cols=tile_cols, key=key,
             shard_data=mesh is not None)
+    if timings is not None:
+        float(jax.device_get(jnp.sum(out.depth.astype(jnp.float32))))
+        timings["device_s"] = time.time() - t0
+        t0 = time.time()
+    lp1 = int(out.layer_color.shape[0])
+    if download_layers is None:
+        dl = list(range(lp1))
+    else:
+        dl = sorted({int(i) for i in download_layers if 0 <= int(i) < lp1})
+    lc, ld = out.layer_color, out.layer_depth
+    if len(dl) < lp1:
+        # one gather (compiled once per shape) -> one smaller download
+        idx = jnp.asarray(dl, jnp.int32)
+        lc, ld = lc[idx], ld[idx]
     # download ONLY the leaves this wrapper returns: acc/layer_acc stay on
     # device (~16 MB/pose at 1080p that the ~3-7 MB/s tunnel never pays for)
     color_q, depth_q, lcolor_q, ldepth_q = jax.device_get(
-        (out.color, out.depth, out.layer_color, out.layer_depth))
-    out = out._replace(color=color_q, depth=depth_q,
-                       layer_color=lcolor_q, layer_depth=ldepth_q)
+        (out.color, out.depth, lc, ld))
+    if timings is not None:
+        timings["download_s"] = time.time() - t0
     vs, us, valid = tile_pixel_coords(h, w, chunk, tile_cols)
 
     def unscramble(flat, channels):
@@ -167,13 +196,17 @@ def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
         img[vs[valid], us[valid]] = flat[valid].reshape(-1, channels)
         return img
 
-    color = unscramble(out.color, 3).astype(np.float32) / 255.0
-    depth = np.clip(unscramble(out.depth[:, None], 1).astype(np.float32),
+    color = unscramble(color_q, 3).astype(np.float32) / 255.0
+    depth = np.clip(unscramble(depth_q[:, None], 1).astype(np.float32),
                     0, None) / far_clip
-    lp1 = out.layer_color.shape[0]
-    color_layer = [unscramble(out.layer_color[i], 3).astype(np.float32) / 255.0
-                   for i in range(lp1)]
-    depth_layer = [np.clip(unscramble(out.layer_depth[i][:, None], 1)
-                           .astype(np.float32), 0, None) / far_clip
-                   for i in range(lp1)]
+    pos = {layer: k for k, layer in enumerate(dl)}
+    color_layer = [
+        unscramble(lcolor_q[pos[i]], 3).astype(np.float32) / 255.0
+        if i in pos else np.zeros((h, w, 3), np.float32)
+        for i in range(lp1)]
+    depth_layer = [
+        np.clip(unscramble(ldepth_q[pos[i]][:, None], 1)
+                .astype(np.float32), 0, None) / far_clip
+        if i in pos else np.zeros((h, w, 1), np.float32)
+        for i in range(lp1)]
     return color, depth, color_layer, depth_layer

@@ -310,7 +310,8 @@ class LayeredNeuralRenderer:
 
     # -- rendering -------------------------------------------------------
     def render_pose(self, pose, K, layer_frame_pair, density_threshold=0,
-                    bkgd_density_threshold=0, frame_idx=None):
+                    bkgd_density_threshold=0, frame_idx=None, timings=None,
+                    download_layers=None):
         """Render one pose -> (color (H,W,3), depth (H,W,1),
         color_layer [L+1 x (H,W,3)], depth_layer [L+1 x (H,W,1)])
         (ref: layered_neural_renderer.py:364-392).
@@ -329,7 +330,8 @@ class LayeredNeuralRenderer:
             self.dataset.near_far, edits, self.height, self.width,
             chunk=self.cfg.TPU.RENDER_CHUNK,
             tile_cols=self.cfg.TPU.TILE_COLS, far_clip=self.far,
-            mesh=self.mesh)
+            mesh=self.mesh, timings=timings,
+            download_layers=download_layers)
 
     def _video_dir(self, sub: str) -> str:
         parts = [self.output_dir]
@@ -360,11 +362,19 @@ class LayeredNeuralRenderer:
         self.image_num = 0
 
         path_t0 = time.time()
+        device_s = download_s = 0.0
+        # hidden layers are never saved below — skip their image download
+        shown = [l for l in range(self.layer_num + 1)
+                 if self.is_shown_layer(l)]
         for idx, pose in enumerate(self.poses):
             self.logger.info("Rendering image %d", idx)
+            timings = {}
             color, depth, color_layer, depth_layer = self.render_pose(
                 pose, self.Ks[idx], self.layer_frame_pairs[idx],
-                density_threshold, bkgd_density_threshold, frame_idx=idx)
+                density_threshold, bkgd_density_threshold, frame_idx=idx,
+                timings=timings, download_layers=shown)
+            device_s += timings.get("device_s", 0.0)
+            download_s += timings.get("download_s", 0.0)
 
             if inverse_y_axis:
                 color, depth = color[::-1], depth[::-1]
@@ -391,10 +401,15 @@ class LayeredNeuralRenderer:
             elapsed = time.time() - path_t0
             # end-to-end: device render + image download (dominant through
             # a tunneled TPU; milliseconds on local hardware) + encode/save
+            # device vs download vs end-to-end: the download term is this
+            # environment's ~3-7 MB/s TPU tunnel (milliseconds on local
+            # hardware); device_s is fenced with a scalar sync per pose
             self.logger.info(
                 "Rendered %d poses at %dx%d in %.1f s (%.2f s/pose "
-                "end-to-end)", self.image_num, self.width, self.height,
-                elapsed, elapsed / self.image_num)
+                "end-to-end; %.2f s/pose device render, %.2f s/pose image "
+                "download)", self.image_num, self.width, self.height,
+                elapsed, elapsed / self.image_num,
+                device_s / self.image_num, download_s / self.image_num)
 
     def render_path_walking(self, inverse_y_axis=False, density_threshold=0,
                             bkgd_density_threshold=0, auto_save=True):

@@ -131,6 +131,16 @@ class TestShardedPoseRender:
         np.testing.assert_allclose(shard[0], base[0], atol=1.5 / 255)
         np.testing.assert_allclose(shard[1], base[1], atol=2e-3)
 
+        # the renderer always trims the download to shown layers — exercise
+        # the gather-then-download path on sharded outputs too
+        trim = render_pose_host(params, SPEC, scene, K, c2w, fids, nf, edits,
+                                h, w, chunk=64, tile_cols=16, mesh=mesh,
+                                download_layers=[0, 2])
+        np.testing.assert_array_equal(trim[0], shard[0])
+        np.testing.assert_array_equal(trim[2][0], shard[2][0])
+        np.testing.assert_array_equal(trim[2][2], shard[2][2])
+        assert not trim[2][1].any()
+
 
 class TestShardedEpoch:
     """The production trainer path: shard_map'd scanned epoch over the data

@@ -128,6 +128,38 @@ class TestPoseDeviceParity:
         ref_depth = np.clip(np.asarray(ref.fine.depth).reshape(h, w, 1), 0, None) / 20.0
         np.testing.assert_allclose(depth, ref_depth, atol=2e-3)
 
+    def test_download_layers_trims_and_matches(self):
+        """download_layers=[0, 2]: selected layers match the full download
+        bit-exactly, skipped layers come back as zero images, and the
+        mixed color/depth are untouched; timings dict gets the split."""
+        from stnerf_tpu.render.pose_device import render_pose_host
+
+        params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        scene = make_scene()
+        h = w = 16
+        K = np.array([[12.0, 0, 8], [0, 12, 8], [0, 0, 1]], np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0, 0, -5]
+        frame_ids = np.array([1.0, 2.0, 1.0], np.float32)
+        args = (params, SPEC, scene, K, c2w, frame_ids,
+                np.array([0.5, 12.0]), EditState.identity(2), h, w)
+
+        color_f, depth_f, cl_f, dl_f = render_pose_host(
+            *args, chunk=64, far_clip=20.0)
+        timings = {}
+        color_t, depth_t, cl_t, dl_t = render_pose_host(
+            *args, chunk=64, far_clip=20.0, timings=timings,
+            download_layers=[0, 2])
+
+        np.testing.assert_array_equal(color_t, color_f)
+        np.testing.assert_array_equal(depth_t, depth_f)
+        for i in (0, 2):
+            np.testing.assert_array_equal(cl_t[i], cl_f[i])
+            np.testing.assert_array_equal(dl_t[i], dl_f[i])
+        assert not cl_t[1].any() and not dl_t[1].any()
+        assert cl_t[1].shape == (h, w, 3) and dl_t[1].shape == (h, w, 1)
+        assert timings["device_s"] > 0 and timings["download_s"] > 0
+
 
 class TestNeuralRenderer:
     def test_single_field_and_mix(self):

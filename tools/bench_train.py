@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--compact", choices=["on", "off"], default="off",
                     help="compact pixel pool with on-device ray decode "
                          "(the capture-scale production path)")
+    ap.add_argument("--compositor", choices=["xla", "kernel"], default="xla",
+                    help="sort-free merged compositor inner terms: XLA "
+                         "einsum cubes (default/golden) or the Pallas "
+                         "cross-transmittance kernels "
+                         "(cfg.TPU.COMPOSITOR_KERNEL)")
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--batch", type=int, default=2000)
     ap.add_argument("--coarse", type=int, default=48)
@@ -56,6 +61,7 @@ def main():
     cfg.MODEL.FINE_RAY_SAMPLING = args.fine
     cfg.MODEL.REMOVE_OUTLIERS = True
     cfg.TPU.TRAINABLE_KERNEL = args.kernel == "on"
+    cfg.TPU.COMPOSITOR_KERNEL = args.compositor == "kernel"
     spec = LayeredSpec.from_cfg(cfg, camera_num=16 if args.pose == "on" else 0)
 
     params = init_layered_params(jax.random.PRNGKey(0), spec)
@@ -134,7 +140,8 @@ def main():
 
     best = args.steps * args.batch / min(times)
     print(f"RESULT kernel={args.kernel} pose={args.pose} "
-          f"compact={args.compact} coarse={args.coarse} fine={args.fine} "
+          f"compact={args.compact} compositor={args.compositor} "
+          f"coarse={args.coarse} fine={args.fine} "
           f"batch={args.batch}: {best:.0f} rays/s", flush=True)
 
 
