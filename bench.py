@@ -149,6 +149,7 @@ def trained_fast_vs_exact():
 
     candidates = [os.environ.get("STNERF_BENCH_CKPT_CFG"),
                   "configs/config_capture1080.yml",
+                  "configs/config_capture_cardinality.yml",
                   "configs/config_synthetic_loose.yml",
                   "configs/config_synthetic.yml"]
     cfg = ckpt = None

@@ -39,6 +39,12 @@ def tpu_reachable(timeout_s: float = 180.0, attempts: int = 1,
     process at a time — a second exits fast with FAILED_PRECONDITION).
     Returns True immediately when JAX_PLATFORMS pins a non-TPU backend
     (nothing to probe).
+
+    The per-attempt timeout ESCALATES (x1.75 per retry, capped at 600 s):
+    a healthy-but-cold pool has been measured granting its first device op
+    only after 333 s of backend init — every fixed-180 s probe in a row
+    misreads that as "tunnel dead" (and killing a probe mid-grant can wedge
+    the claim cycle, prolonging the outage it is diagnosing).
     """
     plats = os.environ.get("JAX_PLATFORMS", "")
     if plats and "tpu" not in plats and "axon" not in plats:
@@ -54,7 +60,9 @@ def tpu_reachable(timeout_s: float = 180.0, attempts: int = 1,
             _time.sleep(retry_sleep_s)
         try:
             proc = subprocess.run([sys.executable, "-c", code],
-                                  timeout=timeout_s, capture_output=True)
+                                  timeout=min(600.0,
+                                              timeout_s * 1.75 ** attempt),
+                                  capture_output=True)
             if proc.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
