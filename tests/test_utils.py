@@ -47,3 +47,146 @@ def test_tpu_reachable_timeout_cap(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert tpu_reachable(timeout_s=500.0, attempts=3, retry_sleep_s=0) is False
     assert seen == [500.0, 600.0, 600.0]
+
+
+# --------------------------------------------------------------------------
+# First-party TensorBoard event writer (stnerf_tpu/utils/tb_writer.py).
+# The production trainer must log WITHOUT torch in the process (CLAUDE.md:
+# torch-resident XLA compiles SIGSEGV) — these tests parse the on-disk
+# format back with an independent minimal reader, CRCs included.
+
+import struct
+import sys
+import zlib
+
+import numpy as np
+
+from stnerf_tpu.utils.tb_writer import EventWriter, _masked_crc
+
+
+def _read_records(path):
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                return out
+            (n,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            assert hcrc == _masked_crc(header)
+            data = f.read(n)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            assert dcrc == _masked_crc(data)
+            out.append(data)
+
+
+def _parse_fields(buf):
+    """Minimal proto wire parser -> {field: [values]} (no nesting)."""
+    fields, i = {}, 0
+    while i < len(buf):
+        key, shift = 0, 0
+        while True:
+            b = buf[i]; i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, shift = 0, 0
+            while True:
+                b = buf[i]; i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wire == 1:
+            v = struct.unpack("<d", buf[i:i + 8])[0]; i += 8
+        elif wire == 5:
+            v = struct.unpack("<f", buf[i:i + 4])[0]; i += 4
+        elif wire == 2:
+            n, shift = 0, 0
+            while True:
+                b = buf[i]; i += 1
+                n |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = buf[i:i + n]; i += n
+        else:
+            raise AssertionError(f"wire {wire}")
+        fields.setdefault(field, []).append(v)
+    return fields
+
+
+def test_event_writer_scalar_roundtrip(tmp_path):
+    w = EventWriter(str(tmp_path))
+    w.add_scalar("Loss/train_loss", 0.125, 7)
+    w.add_scalar("TrainPsnr", 31.5, 8)
+    w.close()
+    (path,) = list(tmp_path.glob("events.out.tfevents.*"))
+    recs = _read_records(path)
+    assert len(recs) == 3  # file_version + 2 scalars
+    assert _parse_fields(recs[0])[3] == [b"brain.Event:2"]
+    ev = _parse_fields(recs[1])
+    assert ev[2] == [7]  # step
+    val = _parse_fields(_parse_fields(ev[5][0])[1][0])
+    assert val[1] == [b"Loss/train_loss"]
+    assert val[2][0] == 0.125
+    ev2 = _parse_fields(recs[2])
+    val2 = _parse_fields(_parse_fields(ev2[5][0])[1][0])
+    assert val2[1] == [b"TrainPsnr"]
+    assert abs(val2[2][0] - 31.5) < 1e-6
+
+
+def test_event_writer_image_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 5, 9), dtype=np.float32)  # CHW like the engine sends
+    w = EventWriter(str(tmp_path))
+    w.add_image("stage2/rendered", img, 3)
+    w.close()
+    (path,) = list(tmp_path.glob("events.out.tfevents.*"))
+    recs = _read_records(path)
+    ev = _parse_fields(recs[1])
+    val = _parse_fields(_parse_fields(ev[5][0])[1][0])
+    assert val[1] == [b"stage2/rendered"]
+    im = _parse_fields(val[4][0])
+    assert (im[1][0], im[2][0], im[3][0]) == (5, 9, 3)  # h, w, colorspace
+    png = im[4][0]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode the IDAT scanlines back and compare to the quantized source
+    assert png[12:16] == b"IHDR"
+    idat_off = png.index(b"IDAT") - 4
+    (idat_len,) = struct.unpack(">I", png[idat_off:idat_off + 4])
+    raw = zlib.decompress(png[idat_off + 8:idat_off + 8 + idat_len])
+    rows = [raw[r * (1 + 9 * 3) + 1:(r + 1) * (1 + 9 * 3)] for r in range(5)]
+    decoded = np.frombuffer(b"".join(rows), np.uint8).reshape(5, 9, 3)
+    expect = (np.clip(np.moveaxis(img, 0, -1), 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(decoded, expect)
+
+
+def test_event_writer_grayscale_2d(tmp_path):
+    w = EventWriter(str(tmp_path))
+    w.add_image("stage2/depth", np.ones((4, 6), np.float32) * 0.5, 1)
+    w.close()
+    (path,) = list(tmp_path.glob("events.out.tfevents.*"))
+    ev = _parse_fields(_read_records(path)[1])
+    im = _parse_fields(_parse_fields(_parse_fields(ev[5][0])[1][0])[4][0])
+    assert (im[1][0], im[2][0], im[3][0]) == (4, 6, 1)
+
+
+def test_train_logging_is_torch_free(tmp_path):
+    """VERDICT r4 weak #1: the production trainer imported torch for
+    TensorBoard, the exact segfault hazard the test harness guards against.
+    The event writer must never pull torch in, and the train entry source
+    must not reference torch's SummaryWriter."""
+    w = EventWriter(str(tmp_path))
+    w.add_scalar("Loss/train_loss", 1.0, 0)
+    w.add_image("GT/Image", np.zeros((3, 2, 2), np.float32), 0)
+    w.close()
+    assert "torch" not in sys.modules
+    import os
+    src = open(os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "train.py")).read()
+    assert "torch.utils.tensorboard" not in src
+    assert "import torch" not in src

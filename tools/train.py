@@ -167,11 +167,13 @@ def main():
 
     swriter = None
     if cfg.OUTPUT_DIR:
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            swriter = SummaryWriter(os.path.join(cfg.OUTPUT_DIR, "tb"))
-        except Exception:
-            logger.warning("tensorboard unavailable; scalar logging disabled")
+        # First-party event writer — torch must NEVER enter this long-lived
+        # XLA process (torch-resident XLA compiles SIGSEGV past ~150
+        # programs; CLAUDE.md invariant). Same tags/panels as the
+        # reference's SummaryWriter usage (ref: engine/layered_trainer.py:
+        # 295-309).
+        from stnerf_tpu.utils import EventWriter
+        swriter = EventWriter(os.path.join(cfg.OUTPUT_DIR, "tb"))
 
     val_fn = None
     try:
