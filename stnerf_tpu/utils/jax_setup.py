@@ -6,17 +6,46 @@ import logging
 import os
 
 
+def _cache_key() -> str:
+    """Backend+machine fingerprint for the persistent-cache directory.
+
+    XLA:CPU caches AOT machine code keyed to the *compiling* host's CPU
+    features; loading an entry compiled on a different microarch emits
+    "Compile machine features ... doesn't match" warnings and can SIGILL.
+    Keying the cache path by (pinned platform, arch, cpu-flags hash) keeps
+    TPU entries, this host's CPU entries, and any other host's CPU entries
+    in disjoint directories.
+    """
+    import hashlib
+    import platform as _platform
+
+    plat = (os.environ.get("JAX_PLATFORMS", "") or "auto").replace(",", "-")
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha1(f"{_platform.machine()}|{flags}".encode()).hexdigest()[:8]
+    return f"{plat}-{_platform.machine()}-{h}"
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persist compiled XLA programs across processes.
 
     The full layered render program takes minutes to compile on a tunneled
     TPU; caching makes every subsequent process start in seconds. Safe to
-    call multiple times.
+    call multiple times. The directory is keyed by backend+machine
+    fingerprint (see ``_cache_key``) so cross-machine AOT entries never mix.
     """
     import jax
 
-    path = path or os.environ.get("STNERF_COMPILE_CACHE",
+    base = path or os.environ.get("STNERF_COMPILE_CACHE",
                                   os.path.expanduser("~/.cache/stnerf_tpu_xla"))
+    path = os.path.join(base, _cache_key())
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

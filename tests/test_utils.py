@@ -119,6 +119,32 @@ def _parse_fields(buf):
     return fields
 
 
+def test_compilation_cache_key_separates_backends(monkeypatch, tmp_path):
+    """VERDICT r4 #4: one cache dir for every backend/host let the CPU
+    multichip child load TPU-host AOT entries (SIGILL-risk feature-mismatch
+    warnings). The cache path must differ per pinned platform."""
+    from stnerf_tpu.utils import jax_setup
+
+    monkeypatch.setenv("STNERF_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    key_cpu = jax_setup._cache_key()
+    monkeypatch.delenv("JAX_PLATFORMS")
+    key_auto = jax_setup._cache_key()
+    assert key_cpu != key_auto
+    assert key_cpu.startswith("cpu-")
+    assert key_auto.startswith("auto-")
+
+    import jax
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        jax_setup.enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / key_cpu)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+
 def test_event_writer_scalar_roundtrip(tmp_path):
     w = EventWriter(str(tmp_path))
     w.add_scalar("Loss/train_loss", 0.125, 7)
