@@ -184,6 +184,7 @@ def trained_fast_vs_exact():
     kw = dict(h=HEIGHT, w=WIDTH, chunk=CHUNK, tile_cols=TILE_COLS,
               key=jax.random.PRNGKey(1))
     fast = dataclasses.replace(spec, fast_fine=True, coarse_exit_segments=3)
+    spec = dataclasses.replace(spec, fast_fine=False, coarse_exit_segments=0)
 
     def frame(s):
         out = render_pose_on_device(params, s, scene, jnp.asarray(K),
@@ -244,11 +245,17 @@ def main():
     cfg.MODEL.USE_SPACE_TIME = True
     cfg.MODEL.USE_DEFORM_TIME = True
     cfg.MODEL.DEEP_RGB = False
-    spec = LayeredSpec.from_cfg(cfg)
-    # production inference mode: opacity-driven fast fine stage (the exact
-    # reference fine semantics stay the golden path; timed in detail below,
-    # with the fast-vs-exact PSNR measured on-device)
-    spec_fast = dataclasses.replace(spec, fast_fine=True)
+    # the headline times the PRODUCTION DEFAULT configuration: since round 5
+    # the config defaults ship TPU.FAST_FINE + EARLY_EXIT_SEGMENTS=3, gated
+    # at checkpoint load by the renderer's automated fidelity probe
+    # (TPU.FIDELITY_GATE, >= 40 dB vs exact or it falls back). The exact
+    # reference fine semantics are timed in detail below, with the
+    # fast-vs-exact PSNR measured on-device.
+    spec_fast = LayeredSpec.from_cfg(cfg)
+    assert spec_fast.fast_fine and spec_fast.coarse_exit_segments == 3, \
+        "bench headline must measure the unmodified config defaults"
+    spec = dataclasses.replace(spec_fast, fast_fine=False,
+                               coarse_exit_segments=0)
 
     params = init_layered_params(jax.random.PRNGKey(0), spec)
     # tie fine nets to coarse nets: benchmark weights are random, and at

@@ -166,11 +166,15 @@ _C.TPU.TRAINABLE_KERNEL = True
 # positions reuse the coarse networks' outputs — and a performer whose
 # coarse opacity on a ray is ~0 (< FAST_FINE_EPS) skips its fine kernel for
 # that ray. Exact when fine nets equal coarse nets (fresh init or
-# SAME_SPACENET); at convergence coarse/fine agree closely (PSNR vs the
-# exact path recorded in RESULTS.md). Default False: the exact reference
-# fine semantics (full union re-evaluation through the fine nets,
-# ref: modeling/layered_rfrender.py:481-606) stay the golden path.
-_C.TPU.FAST_FINE = False
+# SAME_SPACENET); at convergence coarse/fine agree closely (46.8 dB vs the
+# exact path at trained capture weights, RESULTS.md round 4). Default TRUE
+# (production path, round 5) — guarded by the automated fidelity gate
+# below, which falls back to the exact reference fine semantics (full union
+# re-evaluation through the fine nets, ref: modeling/layered_rfrender.py:
+# 481-606) whenever a loaded checkpoint's fast-vs-exact probe drops under
+# FIDELITY_MIN_DB. The trainer always strips this flag (exact objective)
+# unless FAST_FINE_TRAIN opts in.
+_C.TPU.FAST_FINE = True
 _C.TPU.FAST_FINE_EPS = 1e-3
 # opt-in: keep the fast fine stage in TRAINING too (fine nets train only at
 # the new importance positions; carried coarse contributions backprop into
@@ -191,11 +195,24 @@ _C.TPU.COMPOSITOR_KERNEL = False
 # below EARLY_EXIT_EPS skips that ray (per kernel tile) for its remaining
 # segments — those samples could contribute at most EPS to any per-layer or
 # merged output. Per-layer color/acc error is bounded by EPS (depth in
-# saturated regions by ~EPS*t_far). 0/1 disables (exact single dispatch,
-# the golden path; ref marches all samples, modeling/layered_rfrender.py
-# :382-413).
-_C.TPU.EARLY_EXIT_SEGMENTS = 0
+# saturated regions by ~EPS*t_far). 0/1 disables (exact single dispatch;
+# ref marches all samples, modeling/layered_rfrender.py:382-413). Default 3
+# (production path, round 5) — covered by the same fidelity gate as
+# FAST_FINE; the trainer always strips it.
+_C.TPU.EARLY_EXIT_SEGMENTS = 3
 _C.TPU.EARLY_EXIT_EPS = 1e-3
+# Automated fidelity gate for the inference approximations above. When a
+# LayeredNeuralRenderer is constructed with a trained checkpoint and any of
+# FAST_FINE / EARLY_EXIT_SEGMENTS>1 / OCCUPANCY_SKIP enabled, it renders a
+# small probe frame (first gt pose, FIDELITY_PROBE_RES wide) through the
+# approximate path and through the exact reference-semantics path at the
+# same weights; below FIDELITY_MIN_DB PSNR the renderer WARNS and falls
+# back to the exact path (and unrefined boxes) for the whole session, so an
+# approximation can never silently ship out-of-spec imagery. The probe
+# PSNR is recorded on the renderer as ``fidelity_db``.
+_C.TPU.FIDELITY_GATE = True
+_C.TPU.FIDELITY_MIN_DB = 40.0
+_C.TPU.FIDELITY_PROBE_RES = 160  # probe frame width, px (16:9 -> 160x90)
 # Occupancy-driven empty-space skipping for RENDERING (inference-only
 # approximation; trained checkpoints only). Each performer's per-frame bbox
 # is shrunk to the tight hull of the voxels where its trained field has

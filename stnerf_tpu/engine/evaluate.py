@@ -7,6 +7,8 @@ Counterpart of the reference's evaluator/do_evaluate
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from ..models import EditState
@@ -20,6 +22,12 @@ def _norm01(x):
 
 
 def render_view(params, spec, scene, inputs, H, W, chunk=8192):
+    # Validation measures the EXACT model semantics: the inference
+    # approximations (fast fine stage, early-exit march — production
+    # defaults in TPU.*) are stripped here because mid-training coarse and
+    # fine nets disagree, which would fold approximation error into the
+    # quality metric the trainer reports.
+    spec = dataclasses.replace(spec, fast_fine=False, coarse_exit_segments=0)
     out = render_rays_chunked(params, spec, scene, inputs,
                               EditState.identity(spec.layer_num), chunk=chunk)
     color = np.asarray(out.fine.color).reshape(H, W, 3)

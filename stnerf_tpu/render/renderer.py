@@ -61,6 +61,7 @@ class LayeredNeuralRenderer:
         self.dataset = RenderScene(cfg)
         self.spec = LayeredSpec.from_cfg(cfg, camera_num=self.dataset.camera_num)
         self.scene = self.dataset.scene_boxes
+        self._exact_scene = self.scene  # pre-occupancy boxes (fidelity gate)
         self._ckpt_path = None
         self.params = params if params is not None else self._load_params()
         # The scale-edit pivot comes from the ORIGINAL frame-0 boxes so edits
@@ -109,6 +110,22 @@ class LayeredNeuralRenderer:
         self.s_scale_frame = None
         self.s_alpha_frame = None
 
+        # -- automated fidelity gate (TPU.FIDELITY_GATE) -------------------
+        # The inference approximations (fast fine stage, early-exit coarse
+        # march, occupancy-refined boxes) are the production default; a
+        # trained checkpoint must prove they hold >= FIDELITY_MIN_DB against
+        # the exact reference-semantics path (full union re-evaluation
+        # through the fine nets, ref: modeling/layered_rfrender.py:481-606)
+        # at the SAME weights before any frame ships with them. Below the
+        # bar the renderer warns and falls back to the exact path for the
+        # whole session.
+        self.fidelity_db = None
+        approx = (self.spec.fast_fine or self.spec.coarse_exit_segments > 1
+                  or bool(cfg.TPU.OCCUPANCY_SKIP))
+        if (approx and cfg.TPU.FIDELITY_GATE and self._ckpt_path is not None
+                and len(self.gt_poses) > 0):
+            self._apply_fidelity_gate()
+
     # ------------------------------------------------------------------
     def _load_params(self):
         path = latest_checkpoint(self.dataset_dir)
@@ -119,6 +136,63 @@ class LayeredNeuralRenderer:
         self.logger.info("loading checkpoint %s", path)
         self._ckpt_path = path
         return load_params_any(path, self.spec)
+
+    # ------------------------------------------------------------------
+    def _apply_fidelity_gate(self):
+        """Probe-render the first gt pose through the approximate and the
+        exact paths at the loaded weights; fall back to exact below
+        ``TPU.FIDELITY_MIN_DB``. Sets ``self.fidelity_db``."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from .pose_device import render_pose_on_device
+
+        cfg = self.cfg
+        pw = max(16, int(cfg.TPU.FIDELITY_PROBE_RES))
+        ph = max(16, round(pw * self.height / self.width))
+        K = np.array(self.gt_Ks[0], np.float32).copy()
+        K[0] *= pw / self.width
+        K[1] *= ph / self.height
+        c2w = np.array(self.gt_poses[0], np.float32)
+        if c2w.shape == (3, 4):
+            c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], 0).astype(np.float32)
+        fids = jnp.full((self.layer_num + 1,), float(self.min_frame[0]),
+                        jnp.float32)
+        edits = EditState.identity(self.layer_num,
+                                   scale_pivot=self.scale_pivot)
+        exact_spec = dataclasses.replace(self.spec, fast_fine=False,
+                                         coarse_exit_segments=0)
+        chunk = min(int(cfg.TPU.RENDER_CHUNK), pw * ph)
+        kw = dict(h=ph, w=pw, chunk=chunk,
+                  tile_cols=min(int(cfg.TPU.TILE_COLS), pw),
+                  key=jax.random.PRNGKey(0))
+
+        def probe(spec, scene):
+            out = render_pose_on_device(
+                self.params, spec, scene, jnp.asarray(K), jnp.asarray(c2w),
+                fids, jnp.asarray(self.dataset.near_far, jnp.float32),
+                edits, **kw)
+            return out.color.astype(jnp.float32) / 255.0
+
+        mse = jnp.mean(jnp.square(probe(self.spec, self.scene)
+                                  - probe(exact_spec, self._exact_scene)))
+        self.fidelity_db = float(jax.device_get(
+            -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
+        min_db = float(cfg.TPU.FIDELITY_MIN_DB)
+        if self.fidelity_db < min_db:
+            self.logger.warning(
+                "fidelity gate: approximate path %.1f dB vs exact at the "
+                "loaded weights (< %.1f dB) — falling back to the exact "
+                "reference-semantics path for this session",
+                self.fidelity_db, min_db)
+            self.spec = exact_spec
+            self.scene = self._exact_scene
+        else:
+            self.logger.info(
+                "fidelity gate: approximate path %.1f dB vs exact "
+                "(>= %.1f dB) — production fast path active",
+                self.fidelity_db, min_db)
 
     # -- layer display --------------------------------------------------
     def hide_layer(self, layer_id: int):

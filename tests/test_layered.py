@@ -539,9 +539,17 @@ class TestCoarseEarlyExit:
         from stnerf_tpu.config import get_cfg
 
         cfg = get_cfg()
-        assert LayeredSpec.from_cfg(cfg).coarse_exit_segments == 0  # default
-        cfg.TPU.EARLY_EXIT_SEGMENTS = 3
+        # production default (round 5): fast path on, gated at checkpoint
+        # load by the renderer's fidelity probe (TPU.FIDELITY_GATE)
+        assert LayeredSpec.from_cfg(cfg).coarse_exit_segments == 3
+        assert LayeredSpec.from_cfg(cfg).fast_fine
+        cfg.TPU.EARLY_EXIT_SEGMENTS = 4
         cfg.TPU.EARLY_EXIT_EPS = 2e-3
         spec = LayeredSpec.from_cfg(cfg)
-        assert spec.coarse_exit_segments == 3
+        assert spec.coarse_exit_segments == 4
         assert spec.coarse_exit_eps == 2e-3
+        cfg2 = get_cfg()
+        cfg2.TPU.EARLY_EXIT_SEGMENTS = 0
+        cfg2.TPU.FAST_FINE = False
+        spec2 = LayeredSpec.from_cfg(cfg2)
+        assert spec2.coarse_exit_segments == 0 and not spec2.fast_fine

@@ -51,6 +51,10 @@ def _cfg():
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.USE_PALLAS = False
     cfg.TPU.TRAINABLE_KERNEL = False
+    # golden parity compares the EXACT reference semantics — strip the
+    # production inference approximations (default-on since round 5)
+    cfg.TPU.FAST_FINE = False
+    cfg.TPU.EARLY_EXIT_SEGMENTS = 0
     return cfg
 
 

@@ -188,6 +188,70 @@ class TestNeuralRenderer:
         np.testing.assert_allclose(zbuf, 1.0)
 
 
+class TestFidelityGate:
+    """TPU.FIDELITY_GATE: the production fast path (FAST_FINE +
+    EARLY_EXIT_SEGMENTS, config defaults since round 5) must prove itself
+    against the exact reference-semantics path at checkpoint load, and fall
+    back to exact below TPU.FIDELITY_MIN_DB."""
+
+    @pytest.fixture(scope="class")
+    def scene_dirs(self, tmp_path_factory):
+        from stnerf_tpu.data.synthetic import make_synthetic_scene
+
+        root = str(tmp_path_factory.mktemp("fid_scene"))
+        make_synthetic_scene(root, width=60, height=45, num_cams=3,
+                             num_frames=2)
+        return root, str(tmp_path_factory.mktemp("fid_out"))
+
+    def _cfg(self, root, out):
+        from stnerf_tpu.data.synthetic import synthetic_cfg
+
+        cfg = synthetic_cfg(root, 60, 45, 2)
+        cfg.OUTPUT_DIR = out
+        cfg.TPU.USE_PALLAS = False
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.MODEL.COARSE_RAY_SAMPLING = 12
+        cfg.MODEL.FINE_RAY_SAMPLING = 6
+        cfg.TPU.FIDELITY_PROBE_RES = 32
+        return cfg
+
+    def test_pass_fallback_and_no_ckpt(self, scene_dirs):
+        from stnerf_tpu.engine.checkpoint import save_checkpoint
+        from stnerf_tpu.render.renderer import LayeredNeuralRenderer
+
+        root, out = scene_dirs
+        # no checkpoint yet: gate must be skipped (nothing to probe), fast
+        # flags stay as configured
+        cfg0 = self._cfg(root, out)
+        assert cfg0.TPU.FAST_FINE and cfg0.TPU.EARLY_EXIT_SEGMENTS == 3
+        cfg0.freeze()
+        r0 = LayeredNeuralRenderer(cfg0)
+        assert r0.fidelity_db is None
+        assert r0.spec.fast_fine and r0.spec.coarse_exit_segments == 3
+
+        save_checkpoint(out, r0.params, None, 1)
+
+        # permissive bar: gate runs, records fidelity_db, keeps the fast path
+        cfg1 = self._cfg(root, out)
+        cfg1.TPU.FIDELITY_MIN_DB = 0.0
+        cfg1.freeze()
+        r1 = LayeredNeuralRenderer(cfg1)
+        assert r1.fidelity_db is not None and np.isfinite(r1.fidelity_db)
+        assert r1.spec.fast_fine and r1.spec.coarse_exit_segments == 3
+
+        # impossible bar: gate trips -> exact reference semantics + original
+        # boxes for the whole session
+        cfg2 = self._cfg(root, out)
+        cfg2.TPU.FIDELITY_MIN_DB = 1e9
+        cfg2.freeze()
+        r2 = LayeredNeuralRenderer(cfg2)
+        assert r2.fidelity_db is not None
+        assert not r2.spec.fast_fine and r2.spec.coarse_exit_segments == 0
+        assert r2.scene is r2._exact_scene
+        # same weights, same probe -> same measured fidelity
+        np.testing.assert_allclose(r2.fidelity_db, r1.fidelity_db, rtol=1e-5)
+
+
 class TestVideoAndMisc:
     def test_write_video(self, tmp_path):
         from stnerf_tpu.render.video import write_video

@@ -80,7 +80,11 @@ def main():
     cfg.freeze()
 
     dataset = RenderScene(cfg)
-    spec = LayeredSpec.from_cfg(cfg, camera_num=dataset.camera_num)
+    # ladder rungs are built up from the EXACT path (fast flags are config
+    # defaults since round 5 — strip them so "exact" means exact)
+    spec = dataclasses.replace(
+        LayeredSpec.from_cfg(cfg, camera_num=dataset.camera_num),
+        fast_fine=False, coarse_exit_segments=0)
     ckpt = latest_checkpoint(cfg.OUTPUT_DIR)
     if ckpt is None:
         print(json.dumps({"error": f"no checkpoint under {cfg.OUTPUT_DIR}"}))

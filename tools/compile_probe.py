@@ -85,6 +85,10 @@ def main():
     cfg.MODEL.USE_SPACE_TIME = True
     cfg.MODEL.USE_DEFORM_TIME = True
     cfg.MODEL.DEEP_RGB = False
+    # the probe builds every variant up from the EXACT path (fast flags are
+    # config defaults since round 5 — strip them here)
+    cfg.TPU.FAST_FINE = False
+    cfg.TPU.EARLY_EXIT_SEGMENTS = 0
     spec = LayeredSpec.from_cfg(cfg)
 
     v = args.variant

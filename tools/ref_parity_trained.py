@@ -86,6 +86,7 @@ def main():
         cfg.TPU.USE_PALLAS = False
         cfg.TPU.TRAINABLE_KERNEL = False
         cfg.TPU.FAST_FINE = False
+        cfg.TPU.EARLY_EXIT_SEGMENTS = 0
     cfg.freeze()
     spec = LayeredSpec.from_cfg(cfg)
     L = spec.layer_num
