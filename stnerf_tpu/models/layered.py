@@ -872,12 +872,31 @@ def _mask_sigma_fine(spec, sigma, hit, edits):
     return sigma
 
 
+def _select_layers(layer_outputs, lp1: int):
+    """Normalize the static per-layer output selection: ``None`` (or the
+    full range) -> ``None`` (compute all), else a sorted in-range tuple."""
+    if layer_outputs is None:
+        return None
+    sel = tuple(sorted({int(l) for l in layer_outputs if 0 <= int(l) < lp1}))
+    return None if len(sel) == lp1 else sel
+
+
 def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                 inputs: RayInputs, edits: EditState,
                 key: jax.Array | None = None,
-                only_coarse: bool = False) -> RenderOutputs:
+                only_coarse: bool = False,
+                layer_outputs=None) -> RenderOutputs:
     """Render a batch of rays through all layers. Fully jittable;
-    ``spec`` and ``only_coarse`` are static."""
+    ``spec``, ``only_coarse`` and ``layer_outputs`` are static.
+
+    ``layer_outputs`` (optional iterable of layer ids) limits which layers'
+    per-layer FINE composites are computed; unselected layers return zeros
+    in ``fine_layers`` (same static shape). The merged pixel and the coarse
+    per-layer pass are unaffected (coarse weights drive the importance
+    resampling for every layer regardless). A drive with hidden performers
+    never downloads their images (ref output contract:
+    layered_neural_renderer.py:456-485), so their compositing work is pure
+    waste — the field evaluations themselves are shared and still run."""
     N = inputs.rays_o.shape[0]
     L, lp1 = spec.layer_num, spec.layer_num + 1
     S1, S2 = spec.coarse_samples, spec.fine_samples
@@ -999,14 +1018,17 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
             # exact union compositing: 2 streams per layer for the
             # per-layer outputs, 2*(L+1) streams for the merged pixel.
             sig_cu, sig_nu = sig_u[..., :S1], sig_u[..., S1:]
-            pl = [composite_streams_nosort(
+            sel = _select_layers(layer_outputs, lp1)
+            pl = {l: composite_streams_nosort(
                 [(t_c[l], rgb_c[l], sig_cu[l]),
                  (t_n[l], rgb_n[l], sig_nu[l])], bw)
-                for l in range(lp1)]
+                for l in (range(lp1) if sel is None else sel)}
+            zc = jnp.zeros((N, 3), t_c.dtype)
+            z1 = jnp.zeros((N, 1), t_c.dtype)
             fine_layers = LayerOutputs(
-                jnp.stack([p.color for p in pl]),
-                jnp.stack([p.depth for p in pl]),
-                jnp.stack([p.acc for p in pl]))
+                jnp.stack([pl[l].color if l in pl else zc for l in range(lp1)]),
+                jnp.stack([pl[l].depth if l in pl else z1 for l in range(lp1)]),
+                jnp.stack([pl[l].acc if l in pl else z1 for l in range(lp1)]))
             def _near(tt, ss):                               # ref: :605
                 return jnp.where(tt >= edits.near, ss, 0.0)
             mixed_f = composite_streams_nosort(
@@ -1032,9 +1054,25 @@ def render_rays(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                                     fine=True, active=active)
         sig_f = _mask_sigma_fine(spec, sig_f, hit, edits)
 
-    per_layer_f = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
-                           )(t_f, rgb_f, sig_f)
-    fine_layers = LayerOutputs(per_layer_f.color, per_layer_f.depth, per_layer_f.acc)
+    sel = _select_layers(layer_outputs, lp1)
+    if sel is None:
+        per_layer_f = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
+                               )(t_f, rgb_f, sig_f)
+        fine_layers = LayerOutputs(per_layer_f.color, per_layer_f.depth,
+                                   per_layer_f.acc)
+    elif sel:
+        idx = jnp.asarray(sel, jnp.int32)
+        p = jax.vmap(lambda t, r, s: volume_render_planar(t, r, s, bw)
+                     )(t_f[idx], rgb_f[idx], sig_f[idx])
+
+        def _put(x):
+            return jnp.zeros((lp1,) + x.shape[1:], x.dtype).at[idx].set(x)
+
+        fine_layers = LayerOutputs(_put(p.color), _put(p.depth), _put(p.acc))
+    else:
+        zc = jnp.zeros((lp1, N, 3), t_f.dtype)
+        z1 = jnp.zeros((lp1, N, 1), t_f.dtype)
+        fine_layers = LayerOutputs(zc, z1, z1)
 
     if spec.nosort_composite:
         sig_fc = jnp.where(t_f >= edits.near, sig_f, 0.0)  # ref: :605

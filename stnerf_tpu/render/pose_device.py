@@ -77,20 +77,27 @@ def _device_tile_rays(K, c2w, h: int, w: int, chunk: int, tile_cols: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "h", "w", "chunk", "tile_cols",
-                                    "only_coarse", "shard_data"))
+                                    "only_coarse", "shard_data",
+                                    "layer_outputs"))
 def render_pose_on_device(params, spec: LayeredSpec, scene: SceneBoxes,
                           K, c2w, frame_ids, near_far, edits: EditState,
                           *, h: int, w: int, chunk: int = 32768,
                           tile_cols: int = 256, key=None,
                           only_coarse: bool = False,
-                          shard_data: bool = False) -> QuantizedFrame:
+                          shard_data: bool = False,
+                          layer_outputs: tuple | None = None) -> QuantizedFrame:
     """Render a full pose. K (3,3), c2w (4,4), frame_ids (L+1,) float,
     near_far (2,). Returns quantized per-pixel outputs in TILE order
     (use :func:`tile_pixel_coords` to unscramble).
 
     ``shard_data``: constrain each chunk's ray axis to the mesh's ``data``
     axis (call under ``jax.sharding.set_mesh``) — multi-chip rendering with
-    replicated parameters and zero collectives in the forward pass."""
+    replicated parameters and zero collectives in the forward pass.
+
+    ``layer_outputs`` (static tuple of layer ids, or None for all): layers
+    whose per-layer fine composites are computed; the rest come back as
+    zero images without paying their compositing work (the shared field
+    evaluations still run — see models.layered.render_rays)."""
     _, _, _, _, n_pad = tile_grid(h, w, chunk, tile_cols)
     n_chunks = n_pad // chunk
 
@@ -115,7 +122,8 @@ def render_pose_on_device(params, spec: LayeredSpec, scene: SceneBoxes,
             cam_ids=jnp.zeros((chunk,), jnp.float32),
             near_far=jnp.broadcast_to(near_far, (chunk, 2)))
         out = render_rays(params, spec, scene, inputs, edits,
-                          None if key is None else k, only_coarse=only_coarse)
+                          None if key is None else k, only_coarse=only_coarse,
+                          layer_outputs=layer_outputs)
 
         def q8(c):
             return (jnp.clip(c, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
@@ -153,13 +161,19 @@ def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
     a tunnel-hosted drive needs to report honest device throughput.
 
     ``download_layers`` (optional list of layer ids) limits the per-layer
-    image download to those layers — a drive with hidden performers never
-    saves their images, and at 1080p each skipped layer is ~10 MB/pose
-    through the ~3-7 MB/s tunnel. Skipped layers return zero images (same
-    list shape); the mixed color/depth always download."""
+    work to those layers, twice over: the device program skips the other
+    layers' fine compositing entirely (static ``layer_outputs`` in
+    :func:`render_pose_on_device`), and the per-layer image download skips
+    them too — a drive with hidden performers never saves their images,
+    and at 1080p each skipped layer is ~10 MB/pose through the ~3-7 MB/s
+    tunnel. Skipped layers return zero images (same list shape); the mixed
+    color/depth always download."""
     import contextlib
     import time
 
+    lp1_spec = spec.layer_num + 1
+    lo = (None if download_layers is None else tuple(sorted(
+        {int(i) for i in download_layers if 0 <= int(i) < lp1_spec})))
     ctx = jax.sharding.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
     t0 = time.time()
     with ctx:
@@ -168,7 +182,7 @@ def render_pose_host(params, spec, scene, K, c2w, frame_ids, near_far, edits,
             jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32),
             jnp.asarray(frame_ids, jnp.float32), jnp.asarray(near_far, jnp.float32),
             edits, h=h, w=w, chunk=chunk, tile_cols=tile_cols, key=key,
-            shard_data=mesh is not None)
+            shard_data=mesh is not None, layer_outputs=lo)
     if timings is not None:
         float(jax.device_get(jnp.sum(out.depth.astype(jnp.float32))))
         timings["device_s"] = time.time() - t0

@@ -13,7 +13,8 @@ from stnerf_tpu.models import (EditState, LayeredSpec, RayInputs, SceneBoxes,
 
 # everything goes through one jit: eager per-op dispatch compiles hundreds of
 # micro-kernels, which is pathologically slow on this host
-render = jax.jit(render_rays, static_argnames=("spec", "only_coarse"))
+render = jax.jit(render_rays,
+                 static_argnames=("spec", "only_coarse", "layer_outputs"))
 
 
 SPEC = LayeredSpec(layer_num=2, coarse_samples=8, fine_samples=4,
@@ -553,3 +554,53 @@ class TestCoarseEarlyExit:
         cfg2.TPU.FAST_FINE = False
         spec2 = LayeredSpec.from_cfg(cfg2)
         assert spec2.coarse_exit_segments == 0 and not spec2.fast_fine
+
+
+class TestLayerOutputSelection:
+    """render_rays(layer_outputs=...): unselected layers' fine composites are
+    skipped inside the device program and come back as zero images, while the
+    merged pixel and every coarse output are untouched (the shared field
+    evaluations still run; only per-layer compositing work drops)."""
+
+    @pytest.mark.parametrize("variant", ["sorted", "fastfine-nosort"])
+    def test_subset_matches_full(self, setup, variant):
+        import dataclasses
+
+        params, scene, inputs = setup
+        spec = SPEC if variant == "sorted" else dataclasses.replace(
+            SPEC, fast_fine=True, nosort_composite=True)
+        key = jax.random.PRNGKey(3)
+        full = render(params, spec, scene, inputs, EditState.identity(2),
+                      key=key)
+        sub = render(params, spec, scene, inputs, EditState.identity(2),
+                     key=key, layer_outputs=(1,))
+        np.testing.assert_allclose(sub.fine.color, full.fine.color, atol=1e-6)
+        np.testing.assert_allclose(sub.fine.depth, full.fine.depth, atol=1e-6)
+        np.testing.assert_array_equal(sub.coarse.color, full.coarse.color)
+        np.testing.assert_array_equal(sub.coarse_layers.color,
+                                      full.coarse_layers.color)
+        np.testing.assert_allclose(sub.fine_layers.color[1],
+                                   full.fine_layers.color[1], atol=1e-6)
+        np.testing.assert_allclose(sub.fine_layers.acc[1],
+                                   full.fine_layers.acc[1], atol=1e-6)
+        for l in (0, 2):
+            assert not np.asarray(sub.fine_layers.color[l]).any()
+            assert not np.asarray(sub.fine_layers.depth[l]).any()
+            assert not np.asarray(sub.fine_layers.acc[l]).any()
+
+    def test_empty_and_full_selection(self, setup):
+        params, scene, inputs = setup
+        key = jax.random.PRNGKey(3)
+        full = render(params, SPEC, scene, inputs, EditState.identity(2),
+                      key=key)
+        # full-range tuple normalizes to "all" (same cache entry semantics)
+        allsel = render(params, SPEC, scene, inputs, EditState.identity(2),
+                        key=key, layer_outputs=(0, 1, 2))
+        np.testing.assert_array_equal(allsel.fine_layers.color,
+                                      full.fine_layers.color)
+        none = render(params, SPEC, scene, inputs, EditState.identity(2),
+                      key=key, layer_outputs=())
+        np.testing.assert_allclose(none.fine.color, full.fine.color,
+                                   atol=1e-6)
+        assert not np.asarray(none.fine_layers.color).any()
+        assert not np.asarray(none.fine_layers.acc).any()
