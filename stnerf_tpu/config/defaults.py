@@ -225,6 +225,14 @@ _C.TPU.FIDELITY_PROBE_RES = 160  # probe frame width, px (16:9 -> 160x90)
 # disk-cached per (checkpoint, knobs) next to the checkpoint.
 _C.TPU.OCCUPANCY_SKIP = False
 _C.TPU.OCC_GRID = 64
+# OCC_AUTO_TAU (default, round 5): OCC_SIGMA_THRESH is ignored and each
+# (layer, frame) derives the LARGEST threshold whose culled voxels'
+# worst-case per-ray alpha — bounded from the sigma lattice itself,
+# render/occupancy._culled_alpha_bound — keeps worst-case image error
+# above FIDELITY_MIN_DB PSNR (render/occupancy.auto_tau). No hand-tuned
+# knob; a frame where no threshold fits degrades to the exact box. Set
+# False to use the manual OCC_SIGMA_THRESH below.
+_C.TPU.OCC_AUTO_TAU = True
 _C.TPU.OCC_SIGMA_THRESH = 1.0
 _C.TPU.OCC_PAD_VOXELS = 1
 _C.TPU.OCC_BKGD = False   # also tighten the background box (usually full)

@@ -72,17 +72,108 @@ def _extent_from_cube(occ: np.ndarray):
     return np.asarray(los), np.asarray(his), True
 
 
+def _eps_alpha(min_db: float) -> float:
+    """Map a PSNR floor to a per-ray culled-alpha budget. Removing matter
+    with total alpha a changes a pixel by at most ~2a (its own emission is
+    gone and everything behind it brightens by the freed transmittance),
+    so worst-case RMSE <= 2a; PSNR >= min_db needs 2a <= 10^(-min_db/20)."""
+    return 0.5 * 10.0 ** (-float(min_db) / 20.0)
+
+
+def _culled_alpha_bound(sig: np.ndarray, keep: np.ndarray, box: np.ndarray,
+                        grid: int) -> float:
+    """Upper bound on ANY ray's alpha contribution from the culled voxels
+    (``~keep``), from the sigma lattice itself.
+
+    For a ray with dominant axis a (|d_a| >= 1/sqrt(3)), its path length
+    inside one slab perpendicular to a is voxel_a/|d_a| <= sqrt(3)*voxel_a,
+    and the sigma it sees there is at most the slab's max culled sigma; so
+    the optical depth is <= sqrt(3)*voxel_a*sum_k max(culled sigma in slab
+    k). Taking the max over the three axes covers every ray direction, and
+    alpha = 1 - exp(-depth).
+    """
+    s = np.where(keep, 0.0, np.asarray(sig, np.float32))
+    voxel = (np.asarray(box[1], np.float64) - np.asarray(box[0])) / grid
+    depth = 0.0
+    for a in range(3):
+        other = tuple(x for x in range(3) if x != a)
+        depth = max(depth, float(voxel[a]) * float(s.max(axis=other).sum()))
+    return float(-np.expm1(-np.sqrt(3.0) * depth))
+
+
+def _hull_keep_mask(occ: np.ndarray, grid: int, pad: int) -> np.ndarray:
+    """Bool cube marking voxels inside the (padded) bounding hull of occ."""
+    lo_i, hi_i, any_occ = _extent_from_cube(occ)
+    keep = np.zeros(occ.shape, bool)
+    if any_occ:
+        lo = np.maximum(lo_i - pad, 0)
+        hi = np.minimum(hi_i + pad, grid - 1)
+        keep[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1] = True
+    return keep
+
+
+def _boxes_keep_mask(box: np.ndarray, sub_boxes: np.ndarray,
+                     grid: int) -> np.ndarray:
+    """Bool cube marking voxels of ``box``'s lattice whose centers fall in
+    any of the (K, 2, 3) world ``sub_boxes``."""
+    lo, hi = np.asarray(box[0], np.float64), np.asarray(box[1], np.float64)
+    centers = [lo[a] + (np.arange(grid) + 0.5) * (hi[a] - lo[a]) / grid
+               for a in range(3)]
+    keep = np.zeros((grid,) * 3, bool)
+    for sb in np.asarray(sub_boxes, np.float64):
+        ins = [(centers[a] >= sb[0, a]) & (centers[a] <= sb[1, a])
+               for a in range(3)]
+        keep |= ins[0][:, None, None] & ins[1][None, :, None] & ins[2][None, None, :]
+    return keep
+
+
+def auto_tau(sig: np.ndarray, box: np.ndarray, grid: int, pad: int,
+             eps_alpha: float) -> tuple[float, float]:
+    """Largest occupancy threshold whose culled-voxel worst-case per-ray
+    alpha (:func:`_culled_alpha_bound` over the hull complement) stays under
+    ``eps_alpha`` -> (tau, bound). tau = 0.0 (exact: every voxel occupied,
+    box round-trips) when even the smallest candidate violates the budget.
+
+    The bound is monotone in tau (larger tau culls a superset), so the
+    descending sweep returns the first — largest — admissible candidate.
+    """
+    sig = np.asarray(sig, np.float32)
+    smax = float(sig.max())
+    if not np.isfinite(smax) or smax <= 0.0:
+        return 0.0, 0.0
+    cands = np.geomspace(max(smax, 1e-3), 1e-3, 40)  # descending
+
+    def bound_at(tau):
+        return _culled_alpha_bound(
+            sig, _hull_keep_mask(sig >= tau, grid, pad), box, grid)
+
+    # culled set grows with tau, so admissibility (bound <= eps) flips once
+    # from False to True as tau descends: binary-search the flip point
+    left, right = 0, len(cands)
+    while left < right:
+        mid = (left + right) // 2
+        if bound_at(cands[mid]) <= eps_alpha:
+            right = mid
+        else:
+            left = mid + 1
+    if left == len(cands):
+        return 0.0, 0.0
+    return float(cands[left]), bound_at(cands[left])
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "bkgd", "grid"))
 def _occupancy_cube(net_params: dict, spec: LayeredSpec, box: jnp.ndarray,
-                    frame_id: jnp.ndarray, tau: jnp.ndarray, *,
-                    bkgd: bool, grid: int):
+                    frame_id: jnp.ndarray, *, bkgd: bool, grid: int):
     """Evaluate a layer's field(s) on a ``grid``^3 lattice inside ``box`` and
-    return the bool occupancy cube of the sigma >= tau region (G, G, G).
+    return the relu-sigma cube (G, G, G) as f16 (the host thresholds it —
+    and the automatic-tau bound needs the values, not a fixed-tau mask;
+    f16 halves the download through the tunneled TPU and its 2^-11 relative
+    error is noise next to the sqrt(3) slack in the culling bound).
 
     ``net_params``: {"coarse": pytree, "fine": pytree or None,
     "motion": pytree or None} for ONE layer. ``box`` (2, 3) and ``frame_id``
     () are traced, so one compile serves every (frame, layer) of a kind.
-    Occupancy is the union (elementwise max of relu sigma) over the coarse
+    The cube is the union (elementwise max of relu sigma) over the coarse
     and fine nets — the refined box must contain whatever either stage sees.
     """
     sn_spec = spec.spacenet_spec(bkgd=bkgd)
@@ -105,7 +196,7 @@ def _occupancy_cube(net_params: dict, spec: LayeredSpec, box: jnp.ndarray,
     if net_params.get("fine") is not None:
         sig = jnp.maximum(sig, sigma_of(net_params["fine"]))
 
-    return sig >= tau                                # (G, G, G)
+    return sig.astype(jnp.float16)                   # (G, G, G)
 
 
 def _shrink(box: np.ndarray, lo_idx, hi_idx, grid: int, pad: int) -> np.ndarray:
@@ -171,7 +262,8 @@ def refine_scene_boxes(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                        grid: int = 64, sigma_thresh: float = 1.0,
                        pad_voxels: int = 1,
                        refine_bkgd: bool = False,
-                       slices: int = 1) -> SceneBoxes:
+                       slices: int = 1,
+                       auto_tau_db: float | None = None) -> SceneBoxes:
     """Return ``scene`` with each per-frame performer box (and optionally the
     background box) shrunk to the trained field's occupied region.
 
@@ -187,35 +279,59 @@ def refine_scene_boxes(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     slices partition the box, and their union interval is the box's.
 
     Degenerate rows (zero boxes from ``FRAME_OFFSET`` padding) and layers
-    with no occupancy above ``sigma_thresh`` keep their original box — a
+    with no occupancy above the threshold keep their original box — a
     mis-set threshold degrades to the exact baseline instead of deleting a
     performer (replicated across slices when ``slices > 1``).
+
+    ``auto_tau_db`` (quality-bounded automatic threshold): when set,
+    ``sigma_thresh`` is ignored and each (layer, frame) gets the LARGEST
+    tau whose culled voxels' worst-case per-ray alpha — bounded from the
+    sigma lattice itself, :func:`_culled_alpha_bound` — keeps worst-case
+    image error above ``auto_tau_db`` dB PSNR (:func:`auto_tau`). With
+    ``slices > 1`` the final union-of-slices culling is re-checked against
+    the same budget per frame; a violating frame falls back to its hull box
+    replicated across slices. No hand-tuned knob, and an operating point
+    that can never ship out-of-spec geometry culling.
     """
     boxes = np.asarray(scene.boxes).copy()           # (F, L, 2, 3)
     F, L = boxes.shape[:2]
     K = max(1, int(slices))
-    tau = jnp.float32(sigma_thresh)
+    eps = _eps_alpha(auto_tau_db) if auto_tau_db is not None else None
     shrunk = total = 0
+    taus: list[float] = []
     vol = lambda b: float(np.prod(np.maximum(b[1] - b[0], 0.0)))
     # default: original box replicated across slices (exact union)
     sliced = np.repeat(boxes[:, :, None], K, axis=2)  # (F, L, K, 2, 3)
 
+    def sigma_cube(net, box, frame_id, bkgd=False):
+        return np.asarray(_occupancy_cube(
+            net, spec, jnp.asarray(box), jnp.float32(frame_id),
+            bkgd=bkgd, grid=grid), np.float32)
+
+    def pick_tau(sig, box):
+        if eps is None:
+            return float(sigma_thresh)
+        tau, _ = auto_tau(sig, box, grid, pad_voxels, eps)
+        taus.append(tau)
+        return tau
+
     for layer in range(1, L + 1):
         net = _layer_net_params(params, spec, layer)
         cubes: dict[int, np.ndarray] = {}
+        sigs: dict[int, np.ndarray] = {}
         for f in range(F):
             box = boxes[f, layer - 1]
             if not np.all(box[1] > box[0]):
                 continue                             # FRAME_OFFSET zero row
             total += 1
-            occ = np.asarray(_occupancy_cube(
-                net, spec, jnp.asarray(box), jnp.float32(f + 1), tau,
-                bkgd=False, grid=grid))
+            sig = sigma_cube(net, box, f + 1)
+            tau_f = pick_tau(sig, box)
+            occ = sig >= tau_f
             lo_i, hi_i, any_occ = _extent_from_cube(occ)
             if not any_occ:
                 logger.warning(
                     "occupancy: layer %d frame %d has no sigma >= %.3g; "
-                    "keeping the original box", layer, f + 1, sigma_thresh)
+                    "keeping the original box", layer, f + 1, tau_f)
                 continue
             new = _shrink(box, lo_i, hi_i, grid, pad_voxels)
             if vol(new) < vol(box):
@@ -223,6 +339,7 @@ def refine_scene_boxes(params: dict, spec: LayeredSpec, scene: SceneBoxes,
             boxes[f, layer - 1] = new
             if K > 1:
                 cubes[f] = occ
+                sigs[f] = sig
         if K > 1 and cubes:
             # dominant occupied axis, summed in world units over frames
             lengths = np.zeros(3)
@@ -233,23 +350,42 @@ def refine_scene_boxes(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                 lengths += (hi_i - lo_i + 1) * voxel
             axis = int(np.argmax(lengths))
             for f, occ in cubes.items():
-                sliced[f, layer - 1] = _slice_boxes(
-                    np.asarray(scene.boxes)[f, layer - 1], occ, axis, K,
-                    grid, pad_voxels)
+                orig = np.asarray(scene.boxes)[f, layer - 1]
+                sub = _slice_boxes(orig, occ, axis, K, grid, pad_voxels)
+                if eps is not None:
+                    # re-check the budget against what the slices ACTUALLY
+                    # cull (the union of sub-boxes is tighter than the hull)
+                    keep = _boxes_keep_mask(orig, sub, grid)
+                    bound = _culled_alpha_bound(sigs[f], keep, orig, grid)
+                    if bound > eps:
+                        logger.info(
+                            "occupancy: layer %d frame %d slice culling "
+                            "bound %.2e > budget %.2e; keeping hull box",
+                            layer, f + 1, bound, eps)
+                        sliced[f, layer - 1] = np.repeat(
+                            boxes[f, layer - 1][None], K, axis=0)
+                        continue
+                sliced[f, layer - 1] = sub
 
     bkgd_box = np.asarray(scene.bkgd_box)
     if refine_bkgd:
-        occ = np.asarray(_occupancy_cube(
-            _bkgd_net_params(params, spec), spec, jnp.asarray(bkgd_box),
-            jnp.float32(1.0), tau, bkgd=True, grid=grid))
-        lo_i, hi_i, any_occ = _extent_from_cube(occ)
+        sig = sigma_cube(_bkgd_net_params(params, spec), bkgd_box, 1.0,
+                         bkgd=True)
+        tau_b = pick_tau(sig, bkgd_box)
+        lo_i, hi_i, any_occ = _extent_from_cube(sig >= tau_b)
         if any_occ:
             bkgd_box = _shrink(bkgd_box, lo_i, hi_i, grid, pad_voxels)
 
     if total:
-        logger.info("occupancy: tightened %d/%d performer boxes (grid %d, "
-                    "tau %.3g, slices %d)", shrunk, total, grid,
-                    sigma_thresh, K)
+        if eps is not None and taus:
+            logger.info(
+                "occupancy: tightened %d/%d performer boxes (grid %d, "
+                "auto tau %.3g..%.3g for >= %.1f dB worst case, slices %d)",
+                shrunk, total, grid, min(taus), max(taus), auto_tau_db, K)
+        else:
+            logger.info("occupancy: tightened %d/%d performer boxes "
+                        "(grid %d, tau %.3g, slices %d)", shrunk, total,
+                        grid, sigma_thresh, K)
     return SceneBoxes(bkgd_box=jnp.asarray(bkgd_box),
                       boxes=jnp.asarray(sliced if K > 1 else boxes),
                       bkgd_near_far=scene.bkgd_near_far)
@@ -260,7 +396,8 @@ def refined_boxes_cached(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                          grid: int = 64, sigma_thresh: float = 1.0,
                          pad_voxels: int = 1,
                          refine_bkgd: bool = False,
-                         slices: int = 1) -> SceneBoxes:
+                         slices: int = 1,
+                         auto_tau_db: float | None = None) -> SceneBoxes:
     """Disk-cached :func:`refine_scene_boxes`.
 
     The cache key covers the checkpoint identity (path + mtime) and every
@@ -269,7 +406,9 @@ def refined_boxes_cached(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     tag = "none"
     if ckpt_path and os.path.exists(ckpt_path):
         tag = f"{os.path.basename(ckpt_path)}_{int(os.path.getmtime(ckpt_path))}"
-    name = (f"occ_boxes_{tag}_g{grid}_t{sigma_thresh:g}_p{pad_voxels}"
+    thresh_tag = (f"a{auto_tau_db:g}" if auto_tau_db is not None
+                  else f"{sigma_thresh:g}")
+    name = (f"occ_boxes_{tag}_g{grid}_t{thresh_tag}_p{pad_voxels}"
             f"_b{int(refine_bkgd)}"
             + (f"_k{slices}" if slices > 1 else "") + ".npz")
     path = os.path.join(cache_dir, name)
@@ -283,7 +422,8 @@ def refined_boxes_cached(params: dict, spec: LayeredSpec, scene: SceneBoxes,
                                  sigma_thresh=sigma_thresh,
                                  pad_voxels=pad_voxels,
                                  refine_bkgd=refine_bkgd,
-                                 slices=slices)
+                                 slices=slices,
+                                 auto_tau_db=auto_tau_db)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez(path, bkgd_box=np.asarray(refined.bkgd_box),

@@ -77,7 +77,9 @@ class LayeredNeuralRenderer:
                 sigma_thresh=cfg.TPU.OCC_SIGMA_THRESH,
                 pad_voxels=cfg.TPU.OCC_PAD_VOXELS,
                 refine_bkgd=cfg.TPU.OCC_BKGD,
-                slices=cfg.TPU.OCC_SLICES)
+                slices=cfg.TPU.OCC_SLICES,
+                auto_tau_db=(float(cfg.TPU.FIDELITY_MIN_DB)
+                             if cfg.TPU.OCC_AUTO_TAU else None))
 
         ln = cfg.DATASETS.LAYER_NUM
         self.layer_num = ln

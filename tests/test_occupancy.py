@@ -362,3 +362,133 @@ def test_shrink_math():
     # axis 0: [2-1, 5+1+1] voxels -> [1, 7]; axis 1 clamps at 0; axis 2 at 8
     np.testing.assert_allclose(out[0], [1.0, 0.0, 6.0])
     np.testing.assert_allclose(out[1], [7.0, 2.0, 8.0])
+
+
+class TestAutoTau:
+    """Quality-bounded automatic occupancy threshold: auto_tau picks the
+    largest tau whose culled voxels' worst-case per-ray alpha
+    (_culled_alpha_bound) stays within the PSNR budget, and
+    refine_scene_boxes(auto_tau_db=...) degrades to the exact box when
+    nothing fits."""
+
+    def test_bound_covers_axis_column_rays(self):
+        from stnerf_tpu.render.occupancy import _culled_alpha_bound
+
+        rng = np.random.default_rng(0)
+        g = 12
+        sig = rng.exponential(0.3, size=(g, g, g)).astype(np.float32)
+        keep = np.zeros((g, g, g), bool)
+        keep[3:9, 2:7, 4:11] = True
+        box = np.array([[-1.0, -2.0, 0.5], [1.5, 1.0, 3.0]], np.float32)
+        bound = _culled_alpha_bound(sig, keep, box, g)
+        s = np.where(keep, 0.0, sig)
+        voxel = (box[1] - box[0]) / g
+        for a in range(3):
+            depth = (s.sum(axis=a) * voxel[a]).max()
+            assert bound >= -np.expm1(-depth) - 1e-7
+
+    def test_auto_tau_zero_field(self):
+        from stnerf_tpu.render.occupancy import auto_tau
+
+        box = np.array([[0.0, 0, 0], [1.0, 1, 1]], np.float32)
+        tau, bound = auto_tau(np.zeros((8, 8, 8), np.float32), box, 8, 1,
+                              eps_alpha=0.005)
+        assert tau == 0.0 and bound == 0.0
+
+    def test_auto_tau_culls_faint_halo_keeps_blob(self):
+        from stnerf_tpu.render.occupancy import (_culled_alpha_bound,
+                                                 _eps_alpha, _hull_keep_mask,
+                                                 auto_tau)
+
+        g = 16
+        sig = np.full((g, g, g), 1e-3, np.float32) * 0.5   # faint halo
+        sig[6:10, 6:10, 6:10] = 50.0                        # the performer
+        box = np.array([[-1.0, -1, 1], [1.0, 1, 3]], np.float32)
+        eps = _eps_alpha(40.0)
+        tau, bound = auto_tau(sig, box, g, 1, eps)
+        assert tau > 1e-3          # halo culled, not kept
+        assert bound <= eps        # returned operating point is in budget
+        keep = _hull_keep_mask(sig >= tau, g, 1)
+        # the blob (and its pad voxel) is inside the kept hull
+        assert keep[6:10, 6:10, 6:10].all()
+        # hull is tight: pad=1 around the blob span [6,10) -> [5, 11)
+        assert not keep[4].any() and not keep[11].any()
+        assert _culled_alpha_bound(sig, keep, box, g) <= eps
+
+    def test_auto_tau_exact_fallback_huge_faint_box(self):
+        """A kilometre-scale box of sub-candidate sigma: every candidate tau
+        culls matter whose integral blows the budget -> tau 0 (exact)."""
+        from stnerf_tpu.render.occupancy import auto_tau
+
+        g = 8
+        sig = np.full((g, g, g), 9e-4, np.float32)
+        box = np.array([[0.0, 0, 0], [1000.0, 1000, 1000]], np.float32)
+        tau, _ = auto_tau(sig, box, g, 1, eps_alpha=0.005)
+        assert tau == 0.0
+
+    def test_refine_auto_localizes_indicator(self, setup, monkeypatch):
+        """auto_tau_db through refine_scene_boxes with the indicator field:
+        same localization as the manual-threshold path, no knob needed."""
+        params, scene = setup
+        target_lo = np.array([-0.4, -0.5, 1.5], np.float32)
+        target_hi = np.array([0.2, 0.3, 2.1], np.float32)
+
+        def fake_spacenet(p, sspec, xyz, dirs, times, dtype=None):
+            inside = jnp.all((xyz >= target_lo[:, None, None, None])
+                             & (xyz <= target_hi[:, None, None, None]), axis=0)
+            return jnp.zeros_like(xyz), jnp.where(inside, 10.0, 0.0)
+
+        monkeypatch.setattr(occupancy, "apply_spacenet_planar", fake_spacenet)
+        monkeypatch.setattr(occupancy, "apply_motionnet_planar",
+                            lambda *a, **k: jnp.zeros_like(a[2]))
+        occupancy._occupancy_cube.clear_cache()
+        try:
+            grid = 16
+            out = refine_scene_boxes(params, SPEC, scene, grid=grid,
+                                     pad_voxels=1, auto_tau_db=40.0)
+            new = np.asarray(out.boxes)[1, 0]
+            orig = np.asarray(scene.boxes)[1, 0]
+            voxel = (orig[1] - orig[0]) / grid
+            assert np.all(new[0] <= target_lo + 1e-5)
+            assert np.all(new[1] >= target_hi - 1e-5)
+            assert np.all(new[0] >= target_lo - 2 * voxel - 1e-5)
+            assert np.all(new[1] <= target_hi + 2 * voxel + 1e-5)
+        finally:
+            occupancy._occupancy_cube.clear_cache()
+
+    def test_slices_fall_back_when_gap_has_matter(self, setup, monkeypatch):
+        """Two strong blobs joined by a faint (sigma 0.5) tube: the hull
+        keeps the tube (outside-hull sigma is 0, so the top tau is picked),
+        but slicing along the dominant axis would cull it — the per-frame
+        union-of-slices re-check must reject the slices and replicate the
+        hull box instead."""
+        params, scene = setup
+        blob_a = (np.array([-0.8, -0.2, 1.8], np.float32),
+                  np.array([-0.4, 0.2, 2.2], np.float32))
+        blob_b = (np.array([0.5, -0.2, 1.8], np.float32),
+                  np.array([0.9, 0.2, 2.2], np.float32))
+        tube = (np.array([-0.4, -0.2, 1.8], np.float32),
+                np.array([0.5, 0.2, 2.2], np.float32))
+
+        def fake_spacenet(p, sspec, xyz, dirs, times, dtype=None):
+            def inside(lo, hi):
+                return jnp.all((xyz >= lo[:, None, None, None])
+                               & (xyz <= hi[:, None, None, None]), axis=0)
+            sig = jnp.where(inside(*blob_a) | inside(*blob_b), 10.0,
+                            jnp.where(inside(*tube), 0.5, 0.0))
+            return jnp.zeros_like(xyz), sig
+
+        monkeypatch.setattr(occupancy, "apply_spacenet_planar", fake_spacenet)
+        monkeypatch.setattr(occupancy, "apply_motionnet_planar",
+                            lambda *a, **k: jnp.zeros_like(a[2]))
+        occupancy._occupancy_cube.clear_cache()
+        try:
+            out = refine_scene_boxes(params, SPEC, scene, grid=16,
+                                     pad_voxels=0, slices=4,
+                                     auto_tau_db=40.0)
+            new = np.asarray(out.boxes)[1, 0]           # (K, 2, 3)
+            # every slice is the same (replicated hull) box
+            for k in range(1, new.shape[0]):
+                np.testing.assert_array_equal(new[k], new[0])
+        finally:
+            occupancy._occupancy_cube.clear_cache()

@@ -43,7 +43,13 @@ def main():
     p.add_argument("--segments", type=int, default=3,
                    help="EARLY_EXIT_SEGMENTS for the early-exit variants")
     p.add_argument("--occ-grid", type=int, default=64)
-    p.add_argument("--occ-tau", type=float, default=1.0)
+    p.add_argument("--occ-tau", type=float, default=-1.0,
+                   help="manual occupancy threshold; default -1 = automatic "
+                        "quality-bounded tau (TPU.OCC_AUTO_TAU semantics: "
+                        "largest per-(layer,frame) tau whose culling bound "
+                        "holds --occ-db worst case)")
+    p.add_argument("--occ-db", type=float, default=40.0,
+                   help="PSNR floor for the automatic tau bound")
     p.add_argument("--occ-slices", type=int, default=0,
                    help="add a TPU.OCC_SLICES sub-box variant (0 = off)")
     p.add_argument("--gap-skip", action="store_true",
@@ -120,8 +126,10 @@ def main():
     kw = dict(h=H, w=W, chunk=cfg.TPU.RENDER_CHUNK,
               tile_cols=cfg.TPU.TILE_COLS, key=key)
 
+    occ_kw = (dict(auto_tau_db=args.occ_db) if args.occ_tau < 0
+              else dict(sigma_thresh=args.occ_tau))
     occ_scene = refine_scene_boxes(params, spec, scene, grid=args.occ_grid,
-                                   sigma_thresh=args.occ_tau)
+                                   **occ_kw)
     ov = np.prod(np.asarray(scene.boxes)[..., 1, :]
                  - np.asarray(scene.boxes)[..., 0, :], axis=-1)
     nv = np.prod(np.asarray(occ_scene.boxes)[..., 1, :]
@@ -140,8 +148,7 @@ def main():
     if args.occ_slices > 1:
         sliced_scene = refine_scene_boxes(params, spec, scene,
                                           grid=args.occ_grid,
-                                          sigma_thresh=args.occ_tau,
-                                          slices=args.occ_slices)
+                                          slices=args.occ_slices, **occ_kw)
         variants.append(("fast+exit+occ_slices", exit_, sliced_scene))
         if args.gap_skip:
             gap = dataclasses.replace(exit_, occ_gap_skip=True)
