@@ -143,6 +143,19 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # worker restart at ~5 min of one scanned program); segmenting costs one
 # metrics readback per segment (~30 ms here) and nothing else.
 _C.TPU.EPOCH_SEGMENT_STEPS = 1000
+# Order compact training pools globally by (frame, performer-bbox hit
+# pattern) at assembly, shuffled within groups (data/raygen.
+# order_pool_by_hit) — performance-only (tile-skip flags are recomputed on
+# device; order just determines what a contiguous draw looks like).
+_C.TPU.POOL_HIT_ORDER = True
+# With a hit-ordered compact pool: draw each batch as batch/block
+# CONTIGUOUS blocks of this many rays instead of independent rays — blocks
+# share one hit pattern, so the trainable kernel's per-tile skip flags
+# fire without the per-batch argsort (engine/trainer.make_train_epoch
+# ``block``). Must divide the per-shard batch; 0/1 = per-ray draws.
+# 128 spans >= one 1024-sample kernel tile at both training stages of the
+# production 90+30 shape (ceil(1024/90)=12, ceil(1024/30)=35 rays/tile).
+_C.TPU.POOL_BLOCK_DRAW = 128
 # Ray chunk size per device for full-image rendering (static shape; rays are
 # padded up to a multiple of this). Replaces utils/batchify_rays.py chunking.
 # Small spatially-square chunks maximize the per-chunk performer-field skip

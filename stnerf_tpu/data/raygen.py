@@ -328,7 +328,9 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
     # per-(frame, layer) load+concat pass (an hour of host copies at capture
     # scale on this class of host)
     cap = getattr(d, "MAX_POOL_RAYS", 0)
-    fmt = "px" if compact else "f32"
+    hit_order = bool(compact and d.LAYER_NUM
+                     and getattr(cfg.TPU, "POOL_HIT_ORDER", False))
+    fmt = ("px_ho" if hit_order else "px") if compact else "f32"
     # the fingerprint covers every remaining DATASETS/INPUT (and, for the
     # f32 format, ray-column) knob so a config change can never silently
     # serve a stale assembled pool or stale camera tables
@@ -426,10 +428,87 @@ def build_ray_pool(cfg, spec, rng: np.random.Generator | None = None,
             np.zeros((d.LAYER_NUM + 1, 1, scene.cam_num, 2), np.float32)
         pool["width"] = np.int64(out_w)
 
+    if hit_order:
+        logger.info("ordering pool by (frame, bbox-hit pattern), "
+                    "shuffled within groups (%d rays)",
+                    pool["pix"].shape[0])
+        pool = order_pool_by_hit(pool, boxes, rng)
+
     os.makedirs(os.path.dirname(bundle_file), exist_ok=True)
     np.savez(bundle_file, **pool)
     np.save(boxes_file, boxes)
     return pool, boxes
+
+
+def pool_hit_keys(pool: dict, boxes: np.ndarray,
+                  chunk: int = 1 << 20) -> np.ndarray:
+    """Per-ray (frame << L) | bbox-hit-pattern sort keys for a compact pool.
+
+    Host mirror of the trainer's on-device hit test (slab intersection as
+    ops.sampling.ray_aabb_intersect, identity pose refinement/edits): the
+    keys only steer pool ORDER, never outputs — the kernels recompute their
+    tile-skip flags from the true geometry per batch."""
+    n = int(pool["pix"].shape[0])
+    L = int(boxes.shape[1])
+    inv_K = np.asarray(pool["table_inv_K"], np.float32)
+    rot = np.asarray(pool["table_rot"], np.float32)
+    origin = np.asarray(pool["table_origin"], np.float32)
+    width = int(pool["width"])
+    key = np.empty(n, np.int64)
+    eps = np.float32(np.finfo(np.float64).eps)   # ops.sampling slab eps
+    for a in range(0, n, chunk):
+        b = min(a + chunk, n)
+        cam = pool["cams"][a:b].astype(np.int64)
+        pix = pool["pix"][a:b].astype(np.int64)
+        fr = pool["frames"][a:b].astype(np.int64)
+        vs, us = np.divmod(pix, width)
+        p3 = np.stack([us, vs, np.ones_like(us)], -1).astype(np.float32)
+        d = np.einsum("nij,nj->ni", inv_K[cam], p3)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = np.einsum("nij,nj->ni", rot[cam], d)
+        o = origin[cam]
+        fb = boxes[np.clip(fr - 1, 0, boxes.shape[0] - 1)]    # (B, L, 2, 3)
+        inv_d = 1.0 / (d + eps)
+        t1 = (fb[..., 0, :] - o[:, None]) * inv_d[:, None]    # (B, L, 3)
+        t2 = (fb[..., 1, :] - o[:, None]) * inv_d[:, None]
+        t_near = np.minimum(t1, t2).max(-1)
+        t_far = np.maximum(t1, t2).min(-1)
+        hit = t_far > t_near                                  # (B, L)
+        pattern = (hit.astype(np.int64)
+                   << np.arange(L, dtype=np.int64)[None]).sum(-1)
+        key[a:b] = (fr << L) | pattern
+    return key
+
+
+def order_pool_by_hit(pool: dict, boxes: np.ndarray,
+                      rng: np.random.Generator,
+                      chunk: int = 1 << 20) -> dict:
+    """Globally order a COMPACT pool by (frame, performer-bbox hit pattern),
+    shuffled within each group.
+
+    Performance-only: the kernels' per-tile skip flags are recomputed on
+    device per batch from the true geometry, so ordering cannot change any
+    output — it makes the trainer's locality-preserving block draws
+    (engine/trainer ``POOL_BLOCK_DRAW``) hit-homogeneous at kernel-tile
+    granularity, which is what lets a performer field's MXU work be skipped
+    for miss-only tiles (the pool-level analogue of
+    engine/trainer.sort_batch_by_hit, which can only reorder WITHIN a batch
+    whose draw already mixed patterns). The within-group shuffle matters:
+    assembly order is image-scan order, and a block of adjacent pixels of
+    one image would be a correlated gradient sample.
+
+    ``boxes``: (F[, +offset], L, 2, 3) per-frame performer boxes (1-based
+    frame ids index ``boxes[frame-1]``, as models.layered._gather_boxes).
+    """
+    n = int(pool["pix"].shape[0])
+    if n == 0 or int(boxes.shape[1]) == 0:
+        return pool
+    order = np.lexsort((rng.random(n), pool_hit_keys(pool, boxes, chunk)))
+    out = {k: (np.asarray(v)[order]
+               if getattr(v, "ndim", 0) >= 1 and v.shape[0] == n else v)
+           for k, v in pool.items()}
+    out["hit_ordered"] = np.int64(1)
+    return out
 
 
 def decode_pool_host(bundle: dict, spec) -> dict:

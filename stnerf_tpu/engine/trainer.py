@@ -230,7 +230,8 @@ def make_train_step(spec: LayeredSpec, optimizer: optax.GradientTransformation,
 
 
 def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
-                     remove_outliers: bool = False, mesh=None, decode=None):
+                     remove_outliers: bool = False, mesh=None, decode=None,
+                     block: int = 1):
     """Whole-epoch device program: ``lax.scan`` over steps sampling batches
     from a device-resident ray pool.
 
@@ -251,6 +252,16 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     ``pool`` is a TrainBatch whose leaves hold the WHOLE pool (N_pool, ...);
     with a mesh they must be sharded over the data axis (``shard_pool``)
     and N_pool, batch_size must divide by the data-axis size.
+
+    ``block`` > 1 draws each batch as ``batch_size/block`` CONTIGUOUS index
+    blocks instead of independent rays — meant for pools globally ordered
+    by (frame, hit pattern) at assembly (data/raygen.order_pool_by_hit),
+    where a contiguous block shares one bbox-hit pattern and kernel tiles
+    come out hit-homogeneous WITHOUT the per-batch argsort (which cannot
+    help when the draw itself mixed patterns). Every ray keeps a uniform
+    marginal draw probability (blocks are uniform over ``N_pool//block``
+    starts; at most ``block-1`` tail rays are never drawn). Requires
+    ``block | batch_size`` (per shard).
     """
     import dataclasses
 
@@ -273,7 +284,11 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
     # group rays by bbox-hit pattern so the fused kernel's tile-skip flags
     # bite (only the trainable-fused path consumes them)
     from ..models.layered import _use_trainable_fused
-    sort_hits = _use_trainable_fused(spec) and spec.layer_num > 0
+    block = max(int(block), 1)
+    # with block draws from a hit-ordered pool, batches arrive grouped — the
+    # per-batch argsort would only pay its sort cost to reproduce the order
+    sort_hits = (_use_trainable_fused(spec) and spec.layer_num > 0
+                 and block == 1)
 
     n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
     if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) != 1 and n_data > 1:
@@ -288,17 +303,34 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
         if fold_axis:  # distinct shard-local permutation & sample jitter
             didx = jax.lax.axis_index(DATA_AXIS)
             pkey = jax.random.fold_in(pkey, didx)
-        draw = steps * batch_size
-        if draw * 4 < n_pool or draw > n_pool:
-            # Index sampling (with replacement): for big pools a full
-            # permutation sorts n_pool keys PER SEGMENT (minutes per epoch
-            # at a 164M-ray capture pool) for no statistical benefit; and
-            # a draw larger than the pool cannot be covered by a
-            # permutation at all.
-            order = jax.random.randint(pkey, (steps, batch_size), 0, n_pool)
+        if block > 1:
+            # locality-preserving draw: uniform block starts from the
+            # (frame, hit-pattern)-ordered pool; each block is one
+            # homogeneous run of `block` rays
+            assert batch_size % block == 0, (batch_size, block)
+            nb = n_pool // block
+            bpb = batch_size // block
+            bdraw = steps * bpb
+            if bdraw * 4 < nb or bdraw > nb:
+                starts = jax.random.randint(pkey, (steps, bpb), 0, nb)
+            else:
+                starts = jax.random.permutation(pkey, nb)[:bdraw]
+                starts = starts.reshape(steps, bpb)
+            order = (starts[..., None] * block
+                     + jnp.arange(block)).reshape(steps, batch_size)
         else:
-            order = jax.random.permutation(pkey, n_pool)[:draw]
-            order = order.reshape(steps, batch_size)
+            draw = steps * batch_size
+            if draw * 4 < n_pool or draw > n_pool:
+                # Index sampling (with replacement): for big pools a full
+                # permutation sorts n_pool keys PER SEGMENT (minutes per
+                # epoch at a 164M-ray capture pool) for no statistical
+                # benefit; and a draw larger than the pool cannot be
+                # covered by a permutation at all.
+                order = jax.random.randint(pkey, (steps, batch_size), 0,
+                                           n_pool)
+            else:
+                order = jax.random.permutation(pkey, n_pool)[:draw]
+                order = order.reshape(steps, batch_size)
 
         def body(carry, idx):
             params, opt_state, key = carry
@@ -466,10 +498,28 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
     else:
         n_pool = train_pool["rays"].shape[0]
         pool = make_pool(train_pool, spec)
+    block = int(getattr(cfg.TPU, "POOL_BLOCK_DRAW", 0) or 0)
+    if block > 1:
+        if not (compact and bool(np.asarray(
+                train_pool.get("hit_ordered", 0)))):
+            # unordered pools: a contiguous block is image-scan-order pixels
+            # (correlated gradient sample) with no tile-homogeneity payoff
+            block = 1
+        else:
+            shard_bs = batch_size // max(n_data, 1)
+            req = block
+            while block > 1 and shard_bs % block:
+                block -= 1   # largest feasible block <= requested
+            if block != req:
+                logger.info(
+                    "POOL_BLOCK_DRAW %d does not divide the per-shard "
+                    "batch %d; using %d", req, shard_bs, block)
+            if block > 1:
+                logger.info("hit-ordered pool: drawing %d-ray blocks", block)
     epoch_fn = make_train_epoch(spec, optimizer,
                                 remove_outliers=cfg.MODEL.REMOVE_OUTLIERS,
                                 mesh=mesh if n_data > 1 else None,
-                                decode=decode)
+                                decode=decode, block=block)
 
     steps = max(n_pool // batch_size, 1)
     if n_data > 1:

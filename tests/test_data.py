@@ -171,7 +171,8 @@ class TestSynthetic:
         make_synthetic_scene(root, width=60, height=45, num_cams=4,
                              num_frames=2)
         cfg = synthetic_cfg(root, 60, 45, 2)
-        spec = LayeredSpec.from_cfg(cfg)
+        cfg.TPU.POOL_HIT_ORDER = False   # row-for-row comparison needs
+        spec = LayeredSpec.from_cfg(cfg)  # assembly order on both sides
         legacy, _ = build_ray_pool(cfg, spec, np.random.default_rng(0),
                                    compact=False)
         bundle, _ = build_ray_pool(cfg, spec, np.random.default_rng(0),
@@ -197,6 +198,40 @@ class TestSynthetic:
         assert pool["table_inv_K"].shape == (4, 3, 3)
         # subsample keeps rays from several layers
         assert len(np.unique(pool["bbox_labels"])) >= 2
+
+    def test_hit_ordered_pool(self, tmp_path_factory):
+        """TPU.POOL_HIT_ORDER (default): the compact pool comes back sorted
+        by (frame, bbox-hit-pattern) keys, flagged ``hit_ordered``, and is
+        exactly a row permutation of the unordered assembly."""
+        from stnerf_tpu.data.raygen import pool_hit_keys
+
+        root = str(tmp_path_factory.mktemp("scene_ho"))
+        make_synthetic_scene(root, width=60, height=45, num_cams=4,
+                             num_frames=2)
+        cfg = synthetic_cfg(root, 60, 45, 2)
+        assert cfg.TPU.POOL_HIT_ORDER
+        spec = LayeredSpec.from_cfg(cfg)
+        ordered, boxes = build_ray_pool(cfg, spec, np.random.default_rng(0))
+        assert int(ordered["hit_ordered"]) == 1
+        keys = pool_hit_keys(ordered, boxes)
+        assert np.all(np.diff(keys) >= 0), "pool not key-sorted"
+        assert len(np.unique(keys)) > 2, "degenerate grouping"
+
+        cfg2 = synthetic_cfg(root, 60, 45, 2)
+        cfg2.TPU.POOL_HIT_ORDER = False
+        plain, _ = build_ray_pool(cfg2, spec, np.random.default_rng(0))
+        n = plain["pix"].shape[0]
+        assert ordered["pix"].shape[0] == n
+
+        def canon(pool):
+            o = np.lexsort((pool["pix"], pool["cams"], pool["frames"],
+                            pool["bbox_labels"]))
+            return {k: np.asarray(v)[o] for k, v in pool.items()
+                    if getattr(v, "ndim", 0) >= 1 and v.shape[0] == n}
+
+        a, b = canon(ordered), canon(plain)
+        for k in b:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"column {k}")
 
     def test_prefill_parallel_matches_serial(self, tmp_path_factory):
         """Multi-process prefill writes the same per-(frame, layer) caches a

@@ -252,6 +252,41 @@ class TestTrainEpoch:
             last = float(m.loss[-1])
         assert last < first * 0.9, (first, last)
 
+    def test_scanned_epoch_block_draw(self):
+        """block > 1 (locality-preserving contiguous draws for hit-ordered
+        pools) trains the same way: finite metrics, loss decreasing."""
+        from stnerf_tpu.config import get_cfg
+        from stnerf_tpu.engine.trainer import make_train_epoch
+
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "Adam"
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WEIGHT_DECAY = 0.0
+        cfg.SOLVER.WARMUP_ITERS = 1
+        cfg.SOLVER.START_ITERS = 10_000
+        cfg.SOLVER.END_ITERS = 20_000
+        optimizer = make_optimizer(cfg)
+        epoch_fn = make_train_epoch(SPEC, optimizer, block=8)
+
+        params = init_layered_params(jax.random.PRNGKey(0), SPEC)
+        opt_state = optimizer.init(params)
+        pool = _toy_batch(250)   # n_pool not a block multiple: tail unused
+        scene = make_scene()
+
+        first = last = None
+        key = jax.random.PRNGKey(1)
+        for e in range(4):
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = epoch_fn(
+                params, opt_state, scene, pool, sub, jnp.asarray(1.0),
+                batch_size=64, steps=4, only_coarse=False)
+            m = jax.device_get(metrics)
+            assert np.isfinite(m.loss).all()
+            if first is None:
+                first = float(m.loss[0])
+            last = float(m.loss[-1])
+        assert last < first * 0.9, (first, last)
+
 
 class TestFrozenGroups:
     def test_make_frozen_mask_and_step_keeps_frozen_bits(self):
