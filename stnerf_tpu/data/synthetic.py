@@ -7,7 +7,22 @@ Writes a complete dataset in the reference's on-disk layout
 pipeline — ray pregeneration, training, rendering, demos — runs end-to-end
 without the (unshipped) capture data. The scene is analytic: a large
 background sphere enclosing everything plus ``layer_num`` moving performer
-spheres; images are ray-cast in NumPy with per-pixel layer labels.
+bodies; images are ray-cast in NumPy with per-pixel layer labels.
+
+Two capture-statistics regimes beyond the default tight single-sphere
+performers (ref: data/datasets/frame_dataset.py:149-206 — real captures
+have articulated humans whose per-frame point-cloud hulls are loose and
+whose segmentation labels are imperfect):
+
+* ``blobs`` > 1: each performer is an articulated body of ``blobs``
+  spheres (a torso plus limbs) that spread apart over the sequence by
+  ``blob_spread`` world units — the PLY-derived hull box then encloses
+  real interior gaps, the regime ``TPU.OCC_SLICES`` / ``OCC_GAP_SKIP``
+  target (a single-sphere performer has none).
+* ``label_noise`` > 0: segmentation labels get boundary-biased errors
+  (each label-boundary pixel swaps to a random neighbor's label with that
+  probability) plus a ``label_noise/10`` salt of uniformly random labels —
+  mimicking imperfect human matting; the images stay exact.
 """
 
 from __future__ import annotations
@@ -22,6 +37,7 @@ from .ply import write_ply_points
 
 BG_RADIUS = 8.0
 SPHERE_RADIUS = 0.8
+LIMB_RADIUS_FRAC = 0.55     # limb blob radius as a fraction of the torso's
 
 
 def performer_center(layer: int, frame: int, num_frames: int) -> np.ndarray:
@@ -33,6 +49,29 @@ def performer_center(layer: int, frame: int, num_frames: int) -> np.ndarray:
                         np.float32) + np.array([0, 0, (layer - 1) * 0.5], np.float32)
     return np.array([0.3 * np.sin(2 * np.pi * u), 1.4 - 0.8 * u, 0.0],
                     np.float32) + np.array([0, 0, (layer - 2) * 0.5], np.float32)
+
+
+def blob_geometry(layer: int, frame: int, num_frames: int, blobs: int,
+                  spread: float):
+    """Centers (B, 3) and radii (B,) of performer ``layer``'s body blobs.
+
+    Blob 0 is the torso at :func:`performer_center`; blobs 1.. are limbs
+    offset along fixed per-(layer, blob) unit directions whose magnitude
+    grows with the frame fraction (``0.35 + 0.65 u``) times ``spread`` —
+    the body articulates apart over the sequence, so later frames' hulls
+    have the largest interior gaps."""
+    c = performer_center(layer, frame, num_frames)
+    if blobs <= 1:
+        return c[None], np.array([SPHERE_RADIUS], np.float32)
+    u = (frame - 1) / max(num_frames - 1, 1)
+    rng = np.random.default_rng(10_007 * layer)      # per-layer fixed limbs
+    dirs = rng.normal(size=(blobs - 1, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    mag = spread * (0.35 + 0.65 * u)
+    centers = np.concatenate([c[None], c[None] + mag * dirs]).astype(np.float32)
+    radii = np.full(blobs, SPHERE_RADIUS * LIMB_RADIUS_FRAC, np.float32)
+    radii[0] = SPHERE_RADIUS
+    return centers, radii
 
 
 def _bg_color(p: np.ndarray) -> np.ndarray:
@@ -62,23 +101,26 @@ def _intersect_sphere(o, d, center, radius):
 
 
 def raycast(o: np.ndarray, d: np.ndarray, frame: int, num_frames: int,
-            layer_num: int):
+            layer_num: int, blobs: int = 1, blob_spread: float = 0.0):
     """-> (rgb (N,3), label (N,), depth (N,)) analytic ground truth."""
     n = o.shape[0]
     best_t = _intersect_sphere(o, d, np.zeros(3, np.float32), BG_RADIUS)
     label = np.zeros(n, np.int64)
     centers = {}
     for l in range(1, layer_num + 1):
-        c = performer_center(l, frame, num_frames)
-        centers[l] = c
-        t = _intersect_sphere(o, d, c, SPHERE_RADIUS)
-        hit = t < best_t
-        best_t = np.where(hit, t, best_t)
-        label = np.where(hit, l, label)
+        cs, rs = blob_geometry(l, frame, num_frames, blobs, blob_spread)
+        centers[l] = cs
+        for c, r in zip(cs, rs):
+            t = _intersect_sphere(o, d, c, r)
+            hit = t < best_t
+            best_t = np.where(hit, t, best_t)
+            label = np.where(hit, l, label)
     p = o + best_t[:, None] * d
     rgb = _bg_color(p)
     for l in range(1, layer_num + 1):
-        rgb = np.where((label == l)[:, None], _performer_color(l, p, centers[l]), rgb)
+        # color is shaded from the torso center — one body, many blobs
+        rgb = np.where((label == l)[:, None],
+                       _performer_color(l, p, centers[l][0]), rgb)
     return rgb.astype(np.float32), label, best_t.astype(np.float32)
 
 
@@ -97,10 +139,37 @@ def _sphere_points(center, radius, n, rng):
     return (center + radius * v).astype(np.float32)
 
 
+def _noisify_label(label: np.ndarray, p: float,
+                   rng: np.random.Generator, layer_num: int) -> np.ndarray:
+    """Boundary-biased label corruption: every pixel whose 4-neighborhood
+    crosses a label boundary swaps to a random neighbor's label with
+    probability ``p``, and a ``p/10`` fraction of ALL pixels becomes a
+    uniformly random label (salt). Matches how real matting fails — mostly
+    at silhouettes, occasionally anywhere."""
+    if p <= 0:
+        return label
+    out = label.copy()
+    shifts = [np.roll(label, 1, 0), np.roll(label, -1, 0),
+              np.roll(label, 1, 1), np.roll(label, -1, 1)]
+    boundary = np.zeros(label.shape, bool)
+    for s in shifts:
+        boundary |= s != label
+    pick = np.stack(shifts, 0)[rng.integers(0, 4, label.shape),
+                               np.arange(label.shape[0])[:, None],
+                               np.arange(label.shape[1])[None]]
+    flip = boundary & (rng.random(label.shape) < p)
+    out[flip] = pick[flip]
+    salt = rng.random(label.shape) < (p / 10.0)
+    out[salt] = rng.integers(0, layer_num + 1, label.shape)[salt]
+    return out
+
+
 def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
                          num_cams: int = 12, num_frames: int = 5,
                          layer_num: int = 2, seed: int = 0,
-                         bbox_slack: float = 0.0) -> None:
+                         bbox_slack: float = 0.0, blobs: int = 1,
+                         blob_spread: float = 0.0,
+                         label_noise: float = 0.0) -> None:
     """Write the full dataset tree under ``root``.
 
     ``bbox_slack`` > 0 appends invisible outlier corner points at
@@ -108,7 +177,11 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
     derived hull bbox without changing the rendered images — mimicking real
     capture scenes whose per-frame point-cloud hulls are loose around
     articulated humans (the regime TPU.OCCUPANCY_SKIP targets; the default
-    tight boxes make empty-space skipping a geometric no-op)."""
+    tight boxes make empty-space skipping a geometric no-op).
+
+    ``blobs`` / ``blob_spread`` / ``label_noise``: capture-statistics
+    regimes — articulated multi-blob performers whose hulls carry interior
+    gaps, and imperfect segmentation labels (module docstring)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "pose"), exist_ok=True)
     os.makedirs(os.path.join(root, "background"), exist_ok=True)
@@ -131,11 +204,16 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
         os.makedirs(os.path.join(fdir, "labels"), exist_ok=True)
         os.makedirs(os.path.join(fdir, "pointclouds"), exist_ok=True)
         for l in range(1, layer_num + 1):
-            center = performer_center(l, frame, num_frames)
-            pts = _sphere_points(center, SPHERE_RADIUS, 1500, rng)
+            centers, radii = blob_geometry(l, frame, num_frames, blobs,
+                                           blob_spread)
+            area = radii**2
+            counts = np.maximum((1500 * area / area.sum()).astype(int), 64)
+            pts = np.concatenate([
+                _sphere_points(c, r, int(n), rng)
+                for c, r, n in zip(centers, radii, counts)])
             if bbox_slack > 0:
                 r = SPHERE_RADIUS * (1.0 + bbox_slack)
-                corners = center + r * np.array(
+                corners = centers[0] + r * np.array(
                     [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                      for sz in (-1, 1)], np.float32)
                 pts = np.concatenate([pts, corners.astype(np.float32)])
@@ -144,11 +222,12 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
         for cam in range(num_cams):
             rays = pixel_rays(K, poses[cam], height, width)
             rgb, label, _ = raycast(rays[:, :3], rays[:, 3:6], frame,
-                                    num_frames, layer_num)
+                                    num_frames, layer_num, blobs, blob_spread)
             img = (rgb.reshape(height, width, 3) * 255).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(fdir, "images", f"{cam:03d}.png"))
-            np.save(os.path.join(fdir, "labels", f"{cam:03d}.npy"),
-                    label.reshape(height, width).astype(np.uint8))
+            lab = label.reshape(height, width).astype(np.uint8)
+            lab = _noisify_label(lab, label_noise, rng, layer_num)
+            np.save(os.path.join(fdir, "labels", f"{cam:03d}.npy"), lab)
 
 
 def synthetic_cfg(root: str, width: int = 200, height: int = 150,

@@ -233,6 +233,58 @@ class TestSynthetic:
         for k in b:
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"column {k}")
 
+    def test_articulated_scene_statistics(self, tmp_path_factory):
+        """blobs>1 + label_noise: the PLY-derived hull boxes span the
+        articulated body (growing as the limbs spread), enclose interior
+        gap volume a single sphere would not, and labels carry a bounded
+        amount of boundary-biased noise while images stay exact."""
+        from stnerf_tpu.data.synthetic import (SPHERE_RADIUS, blob_geometry,
+                                               raycast)
+
+        root = str(tmp_path_factory.mktemp("scene_artic"))
+        make_synthetic_scene(root, width=60, height=45, num_cams=3,
+                             num_frames=3, blobs=3, blob_spread=1.2,
+                             label_noise=0.15)
+        cfg = synthetic_cfg(root, 60, 45, 3)
+        spec = LayeredSpec.from_cfg(cfg)
+        _, boxes = build_ray_pool(cfg, spec, np.random.default_rng(0))
+
+        # hull must cover every blob of every (frame, layer) and articulate
+        # open: last frame's hull strictly bigger than the first's
+        for f in range(3):
+            for l in (1, 2):
+                cs, rs = blob_geometry(l, f + 1, 3, 3, 1.2)
+                lo, hi = boxes[f, l - 1]
+                assert np.all(cs - rs[:, None] >= lo - 0.15)
+                assert np.all(cs + rs[:, None] <= hi + 0.15)
+        v = np.prod(boxes[..., 1, :] - boxes[..., 0, :], axis=-1)
+        assert np.all(v[2] > 1.5 * v[0]), (v[2], v[0])
+        # interior gaps: hull volume >> the blobs' total matter volume
+        cs, rs = blob_geometry(1, 3, 3, 3, 1.2)
+        matter = (4 / 3) * np.pi * (rs**3).sum()
+        assert v[2, 0] > 3.0 * matter, (v[2, 0], matter)
+        # single-sphere hull for comparison: ~ (2r)^3
+        assert v[2, 0] > 2.0 * (2 * SPHERE_RADIUS) ** 3
+
+        # labels: noisy vs the analytic raycast, but boundedly so; images
+        # exact (noise touches labels only)
+        from stnerf_tpu.data.cameras import pixel_rays
+        K = np.loadtxt(os.path.join(root, "pose", "K.txt"))[0].reshape(3, 3)
+        c2w = np.loadtxt(os.path.join(root, "pose", "RT_c2w.txt"))[0]
+        c2w = c2w.reshape(3, 4)
+        rays = pixel_rays(K.astype(np.float32),
+                          np.vstack([c2w, [0, 0, 0, 1]]).astype(np.float32),
+                          45, 60)
+        rgb, clean, _ = raycast(rays[:, :3], rays[:, 3:6], 1, 3, 2, 3, 1.2)
+        noisy = np.load(os.path.join(root, "frame1", "labels", "000.npy"))
+        frac = (noisy.reshape(-1) != clean).mean()
+        assert 0.0 < frac < 0.10, frac
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(root, "frame1", "images", "000.png")))
+        np.testing.assert_array_equal(
+            img, (rgb.reshape(45, 60, 3) * 255).astype(np.uint8))
+
     def test_prefill_parallel_matches_serial(self, tmp_path_factory):
         """Multi-process prefill writes the same per-(frame, layer) caches a
         serial build would read: the assembled pools are identical."""

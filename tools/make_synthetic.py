@@ -23,6 +23,15 @@ def main():
     p.add_argument("--bbox-slack", type=float, default=0.0,
                    help="inflate performer hull boxes by this fraction via "
                         "invisible outlier points (loose-box regime)")
+    p.add_argument("--blobs", type=int, default=1,
+                   help="spheres per performer body; >1 = articulated "
+                        "performers whose PLY hulls carry interior gaps")
+    p.add_argument("--blob-spread", type=float, default=0.0,
+                   help="how far limb blobs articulate from the torso "
+                        "(world units, grows over the sequence)")
+    p.add_argument("--label-noise", type=float, default=0.0,
+                   help="boundary-biased segmentation label error rate "
+                        "(plus rate/10 uniform salt)")
     args = p.parse_args()
 
     from stnerf_tpu.data import make_synthetic_scene
@@ -30,7 +39,9 @@ def main():
     make_synthetic_scene(args.root, width=args.width, height=args.height,
                          num_cams=args.cams, num_frames=args.frames,
                          layer_num=args.layers, seed=args.seed,
-                         bbox_slack=args.bbox_slack)
+                         bbox_slack=args.bbox_slack, blobs=args.blobs,
+                         blob_spread=args.blob_spread,
+                         label_noise=args.label_noise)
     print(f"synthetic scene written to {args.root}: {args.cams} cams x "
           f"{args.frames} frames x {args.layers}+1 layers at "
           f"{args.width}x{args.height}")
