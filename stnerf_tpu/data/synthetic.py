@@ -200,6 +200,14 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
 
     for frame in range(1, num_frames + 1):
         fdir = os.path.join(root, f"frame{frame}")
+        # resumable at capture scale: a frame whose last-written artifact
+        # (the final camera's label) exists is complete — skip it, so an
+        # interrupted 1080p generation picks up where it stopped. The RNG
+        # is re-seeded per frame so skipped frames do not shift the stream.
+        rng = np.random.default_rng(seed + 7919 * frame)
+        if os.path.exists(os.path.join(fdir, "labels",
+                                       f"{num_cams - 1:03d}.npy")):
+            continue
         os.makedirs(os.path.join(fdir, "images"), exist_ok=True)
         os.makedirs(os.path.join(fdir, "labels"), exist_ok=True)
         os.makedirs(os.path.join(fdir, "pointclouds"), exist_ok=True)
