@@ -61,6 +61,18 @@ def main():
                         "point-cloud hull boxes of real capture data "
                         "(occupancy variants re-tighten from the field)")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--gt-synthetic", action="store_true",
+                   help="also report PSNR against the ANALYTIC ground truth "
+                        "of the synthetic scene, ray-cast on host at the A/B "
+                        "resolution. Separates real quality loss from "
+                        "quadrature shift: tightened boxes re-stratify the "
+                        "fixed sample budget, so vs-exact PSNR penalizes a "
+                        "sample-position change even when no matter was "
+                        "culled; vs-GT answers what a viewer sees")
+    p.add_argument("--gt-blobs", type=int, default=1,
+                   help="blobs per performer used to generate the scene")
+    p.add_argument("--gt-spread", type=float, default=0.0,
+                   help="blob_spread used to generate the scene")
     args = p.parse_args()
 
     from stnerf_tpu.utils import enable_compilation_cache, tpu_reachable
@@ -154,6 +166,22 @@ def main():
             gap = dataclasses.replace(exit_, occ_gap_skip=True)
             variants.append(("fast+exit+slices+gapskip", gap, sliced_scene))
 
+    gt_tiles = None
+    if args.gt_synthetic:
+        from stnerf_tpu.data.cameras import pixel_rays
+        from stnerf_tpu.data.synthetic import raycast
+        from stnerf_tpu.render.pose_device import tile_pixel_coords
+        rays = pixel_rays(K, c2w, H, W)
+        gt_rgb, _, _ = raycast(rays[:, :3], rays[:, 3:6], args.frame,
+                               cfg.DATASETS.FRAME_NUM, cfg.DATASETS.LAYER_NUM,
+                               args.gt_blobs, args.gt_spread)
+        vs_t, us_t, valid = tile_pixel_coords(H, W, cfg.TPU.RENDER_CHUNK,
+                                              cfg.TPU.TILE_COLS)
+        # device output stays in tile order — scramble GT the same way and
+        # mask padding slots out of the metric
+        gt_tiles = gt_rgb.reshape(H, W, 3)[vs_t, us_t]
+        gt_valid = valid[:, None].astype(np.float32)
+
     def frame(s, sc):
         out = render_pose_on_device(params, s, sc, jnp.asarray(K),
                                     jnp.asarray(c2w), fids, nf, edits, **kw)
@@ -182,6 +210,12 @@ def main():
                          "mrays_per_s": round(n / best / 1e6, 4),
                          "psnr_vs_exact_db": round(psnr, 1),
                          "compile_s": round(compile_s, 1)}
+        if gt_tiles is not None:
+            img = np.asarray(jax.device_get(out.color)).astype(np.float32) / 255.0
+            mse_gt = float(np.sum(((img - gt_tiles) ** 2) * gt_valid)
+                           / (3.0 * gt_valid.sum()))
+            results[name]["psnr_vs_gt_db"] = round(
+                -10.0 * np.log10(max(mse_gt, 1e-12)), 2)
         print(json.dumps({name: results[name]}), flush=True)
 
     print(json.dumps({
