@@ -52,20 +52,32 @@ def performer_center(layer: int, frame: int, num_frames: int) -> np.ndarray:
 
 
 def blob_geometry(layer: int, frame: int, num_frames: int, blobs: int,
-                  spread: float):
+                  spread: float, axis: int = -1):
     """Centers (B, 3) and radii (B,) of performer ``layer``'s body blobs.
 
     Blob 0 is the torso at :func:`performer_center`; blobs 1.. are limbs
     offset along fixed per-(layer, blob) unit directions whose magnitude
     grows with the frame fraction (``0.35 + 0.65 u``) times ``spread`` —
     the body articulates apart over the sequence, so later frames' hulls
-    have the largest interior gaps."""
+    have the largest interior gaps.
+
+    ``axis`` >= 0 makes the articulation AXIS-DOMINANT: limb j alternates
+    +/- along that world axis with only 15%-of-spread transverse jitter —
+    a row of blobs with single-axis-separable gaps, the structure real
+    humans have (legs/arms spread along one body axis) and the one
+    ``TPU.OCC_SLICES`` can carve (K sub-boxes along ONE dominant axis
+    cannot separate blobs articulated in general 3D position)."""
     c = performer_center(layer, frame, num_frames)
     if blobs <= 1:
         return c[None], np.array([SPHERE_RADIUS], np.float32)
     u = (frame - 1) / max(num_frames - 1, 1)
     rng = np.random.default_rng(10_007 * layer)      # per-layer fixed limbs
-    dirs = rng.normal(size=(blobs - 1, 3))
+    if axis >= 0:
+        dirs = 0.15 * rng.normal(size=(blobs - 1, 3)).astype(np.float64)
+        sign = np.where(np.arange(blobs - 1) % 2 == 0, 1.0, -1.0)
+        dirs[:, axis % 3] = sign * (1.0 + 0.25 * rng.random(blobs - 1))
+    else:
+        dirs = rng.normal(size=(blobs - 1, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     mag = spread * (0.35 + 0.65 * u)
     centers = np.concatenate([c[None], c[None] + mag * dirs]).astype(np.float32)
@@ -101,14 +113,16 @@ def _intersect_sphere(o, d, center, radius):
 
 
 def raycast(o: np.ndarray, d: np.ndarray, frame: int, num_frames: int,
-            layer_num: int, blobs: int = 1, blob_spread: float = 0.0):
+            layer_num: int, blobs: int = 1, blob_spread: float = 0.0,
+            blob_axis: int = -1):
     """-> (rgb (N,3), label (N,), depth (N,)) analytic ground truth."""
     n = o.shape[0]
     best_t = _intersect_sphere(o, d, np.zeros(3, np.float32), BG_RADIUS)
     label = np.zeros(n, np.int64)
     centers = {}
     for l in range(1, layer_num + 1):
-        cs, rs = blob_geometry(l, frame, num_frames, blobs, blob_spread)
+        cs, rs = blob_geometry(l, frame, num_frames, blobs, blob_spread,
+                               blob_axis)
         centers[l] = cs
         for c, r in zip(cs, rs):
             t = _intersect_sphere(o, d, c, r)
@@ -168,7 +182,7 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
                          num_cams: int = 12, num_frames: int = 5,
                          layer_num: int = 2, seed: int = 0,
                          bbox_slack: float = 0.0, blobs: int = 1,
-                         blob_spread: float = 0.0,
+                         blob_spread: float = 0.0, blob_axis: int = -1,
                          label_noise: float = 0.0) -> None:
     """Write the full dataset tree under ``root``.
 
@@ -213,7 +227,7 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
         os.makedirs(os.path.join(fdir, "pointclouds"), exist_ok=True)
         for l in range(1, layer_num + 1):
             centers, radii = blob_geometry(l, frame, num_frames, blobs,
-                                           blob_spread)
+                                           blob_spread, blob_axis)
             area = radii**2
             counts = np.maximum((1500 * area / area.sum()).astype(int), 64)
             pts = np.concatenate([
@@ -230,7 +244,8 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
         for cam in range(num_cams):
             rays = pixel_rays(K, poses[cam], height, width)
             rgb, label, _ = raycast(rays[:, :3], rays[:, 3:6], frame,
-                                    num_frames, layer_num, blobs, blob_spread)
+                                    num_frames, layer_num, blobs, blob_spread,
+                                    blob_axis)
             img = (rgb.reshape(height, width, 3) * 255).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(fdir, "images", f"{cam:03d}.png"))
             lab = label.reshape(height, width).astype(np.uint8)

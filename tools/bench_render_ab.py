@@ -73,6 +73,8 @@ def main():
                    help="blobs per performer used to generate the scene")
     p.add_argument("--gt-spread", type=float, default=0.0,
                    help="blob_spread used to generate the scene")
+    p.add_argument("--gt-axis", type=int, default=-1,
+                   help="blob_axis used to generate the scene")
     args = p.parse_args()
 
     from stnerf_tpu.utils import enable_compilation_cache, tpu_reachable
@@ -174,7 +176,7 @@ def main():
         rays = pixel_rays(K, c2w, H, W)
         gt_rgb, _, _ = raycast(rays[:, :3], rays[:, 3:6], args.frame,
                                cfg.DATASETS.FRAME_NUM, cfg.DATASETS.LAYER_NUM,
-                               args.gt_blobs, args.gt_spread)
+                               args.gt_blobs, args.gt_spread, args.gt_axis)
         vs_t, us_t, valid = tile_pixel_coords(H, W, cfg.TPU.RENDER_CHUNK,
                                               cfg.TPU.TILE_COLS)
         # device output stays in tile order — scramble GT the same way and

@@ -29,6 +29,10 @@ def main():
     p.add_argument("--blob-spread", type=float, default=0.0,
                    help="how far limb blobs articulate from the torso "
                         "(world units, grows over the sequence)")
+    p.add_argument("--blob-axis", type=int, default=-1,
+                   help="articulate limbs along this world axis (0/1/2) "
+                        "with small transverse jitter; -1 = random 3D "
+                        "directions")
     p.add_argument("--label-noise", type=float, default=0.0,
                    help="boundary-biased segmentation label error rate "
                         "(plus rate/10 uniform salt)")
@@ -41,6 +45,7 @@ def main():
                          layer_num=args.layers, seed=args.seed,
                          bbox_slack=args.bbox_slack, blobs=args.blobs,
                          blob_spread=args.blob_spread,
+                         blob_axis=args.blob_axis,
                          label_noise=args.label_noise)
     print(f"synthetic scene written to {args.root}: {args.cams} cams x "
           f"{args.frames} frames x {args.layers}+1 layers at "
