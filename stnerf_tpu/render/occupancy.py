@@ -161,6 +161,34 @@ def auto_tau(sig: np.ndarray, box: np.ndarray, grid: int, pad: int,
     return float(cands[left]), bound_at(cands[left])
 
 
+def auto_slice_tau(sig: np.ndarray, box: np.ndarray, axis: int, slices: int,
+                   grid: int, pad: int, eps_alpha: float):
+    """Largest tau whose K-sub-box culling (:func:`_slice_boxes` on the
+    ``sig >= tau`` cube) keeps the worst-case per-ray culled alpha within
+    ``eps_alpha`` -> (sub_boxes (K, 2, 3), tau, bound), or (None, 0, inf).
+
+    Searched independently of the hull tau: per-slice extents tighten along
+    EVERY axis, so slicing culls far more volume at a given threshold than
+    the hull trim does, and the hull-admissible tau is usually far too
+    aggressive for slicing. A descending linear scan (40 candidates) keeps
+    correctness even where sub-box geometry makes the bound non-monotone.
+    """
+    sig = np.asarray(sig, np.float32)
+    smax = float(sig.max())
+    if not np.isfinite(smax) or smax <= 0.0:
+        return None, 0.0, float("inf")
+    for tau in np.geomspace(max(smax, 1e-3), 1e-3, 40):
+        occ = sig >= tau
+        if not occ.any():
+            continue
+        sub = _slice_boxes(box, occ, axis, slices, grid, pad)
+        keep = _boxes_keep_mask(box, sub, grid)
+        bound = _culled_alpha_bound(sig, keep, box, grid)
+        if bound <= eps_alpha:
+            return sub, float(tau), float(bound)
+    return None, 0.0, float("inf")
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "bkgd", "grid"))
 def _occupancy_cube(net_params: dict, spec: LayeredSpec, box: jnp.ndarray,
                     frame_id: jnp.ndarray, *, bkgd: bool, grid: int):
@@ -351,20 +379,29 @@ def refine_scene_boxes(params: dict, spec: LayeredSpec, scene: SceneBoxes,
             axis = int(np.argmax(lengths))
             for f, occ in cubes.items():
                 orig = np.asarray(scene.boxes)[f, layer - 1]
-                sub = _slice_boxes(orig, occ, axis, K, grid, pad_voxels)
-                if eps is not None:
-                    # re-check the budget against what the slices ACTUALLY
-                    # cull (the union of sub-boxes is tighter than the hull)
-                    keep = _boxes_keep_mask(orig, sub, grid)
-                    bound = _culled_alpha_bound(sigs[f], keep, orig, grid)
-                    if bound > eps:
-                        logger.info(
-                            "occupancy: layer %d frame %d slice culling "
-                            "bound %.2e > budget %.2e; keeping hull box",
-                            layer, f + 1, bound, eps)
-                        sliced[f, layer - 1] = np.repeat(
-                            boxes[f, layer - 1][None], K, axis=0)
-                        continue
+                if eps is None:
+                    sliced[f, layer - 1] = _slice_boxes(orig, occ, axis, K,
+                                                        grid, pad_voxels)
+                    continue
+                # Slice-specific automatic tau: slicing culls FAR more than
+                # the hull trim at the same threshold (per-slice extents
+                # tighten along every axis), so the hull-admissible tau is
+                # usually way too aggressive here. Search the largest tau
+                # whose union-of-sub-boxes culling bound fits the SAME
+                # budget; a frame where none fits keeps its hull box.
+                sub, tau_s, bound = auto_slice_tau(
+                    sigs[f], orig, axis, K, grid, pad_voxels, eps)
+                if sub is None:
+                    logger.info(
+                        "occupancy: layer %d frame %d: no slice tau fits "
+                        "budget %.2e; keeping hull box", layer, f + 1, eps)
+                    sliced[f, layer - 1] = np.repeat(
+                        boxes[f, layer - 1][None], K, axis=0)
+                    continue
+                logger.info(
+                    "occupancy: layer %d frame %d sliced at tau %.3g "
+                    "(culling bound %.2e <= %.2e)", layer, f + 1, tau_s,
+                    bound, eps)
                 sliced[f, layer - 1] = sub
 
     bkgd_box = np.asarray(scene.bkgd_box)

@@ -456,12 +456,13 @@ class TestAutoTau:
         finally:
             occupancy._occupancy_cube.clear_cache()
 
-    def test_slices_fall_back_when_gap_has_matter(self, setup, monkeypatch):
-        """Two strong blobs joined by a faint (sigma 0.5) tube: the hull
-        keeps the tube (outside-hull sigma is 0, so the top tau is picked),
-        but slicing along the dominant axis would cull it — the per-frame
-        union-of-slices re-check must reject the slices and replicate the
-        hull box instead."""
+    def test_slice_tau_keeps_gap_matter(self, setup, monkeypatch):
+        """Two strong blobs joined by a faint (sigma 0.5) tube: the hull tau
+        lands high (outside-hull sigma is 0, any threshold is
+        hull-admissible), and slicing at THAT tau would cull the tube — the
+        slice-specific tau search (auto_slice_tau) must instead descend to
+        a threshold that keeps the tube inside the slice union, so nothing
+        real is culled while the slices still tighten cross-extents."""
         params, scene = setup
         blob_a = (np.array([-0.8, -0.2, 1.8], np.float32),
                   np.array([-0.4, 0.2, 2.2], np.float32))
@@ -487,8 +488,59 @@ class TestAutoTau:
                                      pad_voxels=0, slices=4,
                                      auto_tau_db=40.0)
             new = np.asarray(out.boxes)[1, 0]           # (K, 2, 3)
-            # every slice is the same (replicated hull) box
-            for k in range(1, new.shape[0]):
-                np.testing.assert_array_equal(new[k], new[0])
+            # the union of slices must cover the tube (nothing real culled)
+            lo = np.minimum.reduce([b[0] for b in new])
+            hi = np.maximum.reduce([b[1] for b in new])
+            assert np.all(lo <= tube[0] + 1e-5), (lo, tube[0])
+            assert np.all(hi >= tube[1] - 1e-5), (hi, tube[1])
+            # ... and every matter voxel sits inside SOME slice
+            from stnerf_tpu.render.occupancy import (_boxes_keep_mask,
+                                                     _culled_alpha_bound,
+                                                     _eps_alpha)
+            orig = np.asarray(scene.boxes)[1, 0]
+            sig = np.asarray(occupancy._occupancy_cube(
+                occupancy._layer_net_params(params, SPEC, 1), SPEC,
+                jnp.asarray(orig), jnp.float32(2.0), bkgd=False, grid=16),
+                np.float32)
+            keep = _boxes_keep_mask(orig, new, 16)
+            assert _culled_alpha_bound(sig, keep, orig, 16) <= _eps_alpha(40.0)
+        finally:
+            occupancy._occupancy_cube.clear_cache()
+
+    def test_slices_fall_back_when_nothing_fits(self, setup, monkeypatch):
+        """A box uniformly full of strong sigma: every slice tau culls real
+        matter (cross-extents cannot tighten without cutting the field), so
+        the per-frame search finds no admissible threshold... but a full box
+        slices into exact tiles (nothing culled). Make the field full-box
+        PLUS corner spikes the slicer's index rounding must not cover: if
+        no admissible tau exists the hull box is replicated; either way the
+        culling bound never exceeds the budget."""
+        params, scene = setup
+
+        def fake_spacenet(p, sspec, xyz, dirs, times, dtype=None):
+            # dense everywhere: slices tile the whole box -> exact, fine
+            return jnp.zeros_like(xyz), jnp.full_like(xyz[0], 5.0)
+
+        monkeypatch.setattr(occupancy, "apply_spacenet_planar", fake_spacenet)
+        monkeypatch.setattr(occupancy, "apply_motionnet_planar",
+                            lambda *a, **k: jnp.zeros_like(a[2]))
+        occupancy._occupancy_cube.clear_cache()
+        try:
+            out = refine_scene_boxes(params, SPEC, scene, grid=16,
+                                     pad_voxels=0, slices=4,
+                                     auto_tau_db=40.0)
+            new = np.asarray(out.boxes)[1, 0]           # (K, 2, 3)
+            orig = np.asarray(scene.boxes)[1, 0]
+            from stnerf_tpu.render.occupancy import (_boxes_keep_mask,
+                                                     _culled_alpha_bound,
+                                                     _eps_alpha)
+            sig = np.full((16, 16, 16), 5.0, np.float32)
+            keep = _boxes_keep_mask(orig, new, 16)
+            assert _culled_alpha_bound(sig, keep, orig, 16) <= _eps_alpha(40.0)
+            # union covers the whole box (nothing culled from a full field)
+            lo = np.minimum.reduce([b[0] for b in new])
+            hi = np.maximum.reduce([b[1] for b in new])
+            np.testing.assert_allclose(lo, orig[0], atol=1e-5)
+            np.testing.assert_allclose(hi, orig[1], atol=1e-5)
         finally:
             occupancy._occupancy_cube.clear_cache()
