@@ -306,7 +306,12 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
         if block > 1:
             # locality-preserving draw: uniform block starts from the
             # (frame, hit-pattern)-ordered pool; each block is one
-            # homogeneous run of `block` rays
+            # homogeneous run of `block` rays. The scan carries the STARTS
+            # and the body fetches each block as one dynamic slice — at
+            # capture scale the pool is a 16M-row HBM table, and a
+            # batch-size scattered gather from it costs ~30% of the step;
+            # bpb contiguous slices lower to a slice-sized gather XLA
+            # vectorizes well.
             assert batch_size % block == 0, (batch_size, block)
             nb = n_pool // block
             bpb = batch_size // block
@@ -316,8 +321,7 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
             else:
                 starts = jax.random.permutation(pkey, nb)[:bdraw]
                 starts = starts.reshape(steps, bpb)
-            order = (starts[..., None] * block
-                     + jnp.arange(block)).reshape(steps, batch_size)
+            order = starts * block          # (steps, bpb) row offsets
         else:
             draw = steps * batch_size
             if draw * 4 < n_pool or draw > n_pool:
@@ -337,7 +341,14 @@ def make_train_epoch(spec: LayeredSpec, optimizer: optax.GradientTransformation,
             key, sub = jax.random.split(key)
             if fold_axis:
                 sub = jax.random.fold_in(sub, didx)
-            batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pool)
+            if block > 1:
+                def draw(x):
+                    sl = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
+                        x, s, block, axis=0))(idx)     # (bpb, block, ...)
+                    return sl.reshape((-1,) + x.shape[1:])
+                batch = jax.tree.map(draw, pool)
+            else:
+                batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pool)
             if decode is not None:
                 batch = decode(batch)
             if sort_hits:

@@ -35,6 +35,18 @@ def main():
     ap.add_argument("--coarse", type=int, default=48)
     ap.add_argument("--fine", type=int, default=24)
     ap.add_argument("--pool", type=int, default=65536)
+    ap.add_argument("--block", type=int, default=1,
+                    help="draw contiguous blocks of this many rays (the "
+                         "hit-ordered capture-pool path, TPU.POOL_BLOCK_DRAW"
+                         "); with --hitmix the pool is group-ordered like "
+                         "data/raygen.order_pool_by_hit would")
+    ap.add_argument("--hitmix", type=str, default="",
+                    help="target bbox-hit-pattern mix 'none,l1,l2,both' as "
+                         "fractions (e.g. '0.13,0.36,0.30,0.21' = the "
+                         "capture1080 pool's measured mix). Default: the "
+                         "legacy random-direction workload (~95% miss — "
+                         "far sparser than a real capture pool, where "
+                         "selection deliberately samples performer pixels)")
     args = ap.parse_args()
 
     from stnerf_tpu.utils import enable_compilation_cache
@@ -73,8 +85,39 @@ def main():
 
     n = args.pool
     rng = np.random.default_rng(0)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d[:, 2] += 2.0
+    if args.hitmix:
+        # aim each ray at a region producing the requested hit pattern:
+        # box1 y in [-1,1], box2 y in [1,3] (they share the y=1 face), so a
+        # ray from (0,0,-5) through (x, y, 1) hits l1-only / both / l2-only
+        # by its y target; 'none' aims far off +x. Shuffled so batches draw
+        # the mix, grouped only by the hit-ordered pool machinery if on.
+        fr = np.array([float(x) for x in args.hitmix.split(",")], np.float64)
+        assert len(fr) == 4 and abs(fr.sum() - 1.0) < 1e-6, fr
+        counts = (fr * n).astype(int)
+        counts[0] += n - counts.sum()
+        ys = [rng.uniform(8.0, 10.0, counts[0]),      # none: above both
+              rng.uniform(-0.9, 0.7, counts[1]),      # l1 only
+              rng.uniform(1.3, 2.9, counts[2]),       # l2 only
+              rng.uniform(0.95, 1.05, counts[3])]     # through the shared face
+        y = np.concatenate(ys)
+        x = rng.uniform(-0.9, 0.9, n)
+        tgt = np.stack([x, y, np.full(n, 1.0)], -1).astype(np.float32)
+        d = tgt - np.array([0, 0, -5.0], np.float32)
+        if args.block > 1:
+            # keep the pattern-group order (shuffle within groups), as the
+            # hit-ordered pool assembly does
+            off = 0
+            order = []
+            for c in counts:
+                order.append(off + rng.permutation(c))
+                off += c
+            order = np.concatenate(order)
+        else:
+            order = rng.permutation(n)
+        d = d[order]
+    else:
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d[:, 2] += 2.0
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     pool = TrainBatch(
         inputs=RayInputs(
@@ -99,9 +142,22 @@ def main():
             origin=jnp.asarray(np.tile(np.array([0, 0, -5.0], np.float32), (M, 1))),
             near_far=jnp.asarray(np.tile(np.array([0.5, 16.0], np.float32),
                                          (3, 4, M, 1))))
+        if args.hitmix:
+            # keep the aimed hit-mix geometry: invert the pinhole (identity
+            # rotation) so the decoded rays reproduce the target dirs to
+            # pixel quantization — u = fx*dx/dz + cx. v may exceed H for
+            # the 'none' rays (aimed above both boxes); pix stays a plain
+            # v*W + u linearization either way.
+            dd = np.asarray(d)
+            u = np.clip(np.round(K[0, 0] * dd[:, 0] / dd[:, 2] + K[0, 2]),
+                        0, W - 1).astype(np.int64)
+            v = np.round(K[1, 1] * dd[:, 1] / dd[:, 2] + K[1, 2]).astype(np.int64)
+            pix = (v * W + u).astype(np.uint32)
+        else:
+            pix = rng.integers(0, W * H, n).astype(np.uint32)
         pool = CompactPool(
             cams=jnp.asarray(rng.integers(0, M, n).astype(np.uint16)),
-            pix=jnp.asarray(rng.integers(0, W * H, n).astype(np.uint32)),
+            pix=jnp.asarray(pix),
             frames=jnp.asarray(rng.integers(1, 4, n).astype(np.uint16)),
             labels=jnp.asarray(rng.integers(0, 3, n).astype(np.uint8)),
             bbox_labels=jnp.asarray(rng.integers(0, 3, n).astype(np.uint8)),
@@ -112,7 +168,7 @@ def main():
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     epoch_fn = make_train_epoch(spec, optimizer, remove_outliers=True,
-                                decode=decode)
+                                decode=decode, block=args.block)
 
     def run(params, opt_state, seed):
         params, opt_state, metrics = epoch_fn(
