@@ -34,6 +34,14 @@ exercised without TPU hardware. Two environment quirks are handled here:
   each runs, complete, in one fresh subprocess driven by
   ``test_torch_isolated.py``; the lazy-torch checkpoint round-trip test is
   marked ``isolate``. ``pytest_sessionfinish`` asserts torch stayed out.
+* the program-count ceiling exists WITHOUT torch too: round 5's ~12 new
+  compiled programs (layer_outputs renders, fidelity-gate probes, block-
+  draw epoch) tipped the main process into the same
+  ``backend_compile_and_load`` SIGSEGV at ~76% of the suite, torch-free
+  (the faulthandler extension-module list had no torch). Torch lowers the
+  threshold; it is not the root cause. Keep the main process's program
+  count roughly flat: any test class that compiles several new full-render
+  or scanned-epoch programs gets ``@pytest.mark.isolate``.
 """
 
 import os

@@ -252,6 +252,7 @@ class TestTrainEpoch:
             last = float(m.loss[-1])
         assert last < first * 0.9, (first, last)
 
+    @pytest.mark.isolate  # extra scanned-epoch program (block-draw variant)
     def test_scanned_epoch_block_draw(self):
         """block > 1 (locality-preserving contiguous draws for hit-ordered
         pools) trains the same way: finite metrics, loss decreasing."""

@@ -556,6 +556,9 @@ class TestCoarseEarlyExit:
         assert spec2.coarse_exit_segments == 0 and not spec2.fast_fine
 
 
+@pytest.mark.isolate   # ~5 extra full-render programs: the main pytest
+# process segfaults in XLA compile past a program-count threshold
+# (round-5 finding: torch-free this time; tests/conftest.py docstring)
 class TestLayerOutputSelection:
     """render_rays(layer_outputs=...): unselected layers' fine composites are
     skipped inside the device program and come back as zero images, while the

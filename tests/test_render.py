@@ -188,6 +188,8 @@ class TestNeuralRenderer:
         np.testing.assert_allclose(zbuf, 1.0)
 
 
+@pytest.mark.isolate   # two renderer instantiations x (fast+exact) gate
+# probes: keeps the main process under the XLA program-count crash line
 class TestFidelityGate:
     """TPU.FIDELITY_GATE: the production fast path (FAST_FINE +
     EARLY_EXIT_SEGMENTS, config defaults since round 5) must prove itself
