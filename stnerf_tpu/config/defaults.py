@@ -236,7 +236,10 @@ _C.TPU.FIDELITY_PROBE_RES = 160  # probe frame width, px (16:9 -> 160x90)
 # entirely more often (composes with the per-tile kernel skip). A culled
 # voxel's per-sample alpha is < 1-exp(-THRESH*delta). Refined boxes are
 # disk-cached per (checkpoint, knobs) next to the checkpoint.
-_C.TPU.OCCUPANCY_SKIP = False
+_C.TPU.OCCUPANCY_SKIP = True   # default on since round 5: with OCC_AUTO_TAU
+# the culling carries a worst-case per-ray alpha bound mapping to
+# >= FIDELITY_MIN_DB, no hand knob, exact-box fallback per frame — and it
+# only engages when a trained checkpoint is loaded (render/renderer.py).
 _C.TPU.OCC_GRID = 64
 # OCC_AUTO_TAU (default, round 5): OCC_SIGMA_THRESH is ignored and each
 # (layer, frame) derives the LARGEST threshold whose culled voxels'

@@ -68,7 +68,9 @@ class LayeredNeuralRenderer:
         # stay reference-exact even when occupancy refinement shrinks boxes.
         self.scale_pivot = compute_scale_pivot(
             np.asarray(self.scene.bkgd_box), np.asarray(self.scene.boxes[0]))
-        if cfg.TPU.OCCUPANCY_SKIP:
+        # occupancy tightening only means anything for a TRAINED field —
+        # a fresh-init render (no checkpoint on disk) skips the refine
+        if cfg.TPU.OCCUPANCY_SKIP and self._ckpt_path is not None:
             from .occupancy import refined_boxes_cached
             self.scene = refined_boxes_cached(
                 self.params, self.spec, self.scene,
@@ -177,7 +179,21 @@ class LayeredNeuralRenderer:
                 edits, **kw)
             return out.color.astype(jnp.float32) / 255.0
 
-        mse = jnp.mean(jnp.square(probe(self.spec, self.scene)
+        # Occupancy culling under OCC_AUTO_TAU carries its own worst-case
+        # per-ray alpha bound (>= FIDELITY_MIN_DB by construction,
+        # render/occupancy.auto_tau) — an analytic guarantee, stronger than
+        # a probe. Probing the tightened boxes vs exact would spuriously
+        # reject quality-neutral culling: the smaller interval re-stratifies
+        # the fixed sample budget, so every sample lands elsewhere and the
+        # vs-exact PSNR caps at ~38 dB from pure quadrature shift while the
+        # ground-truth cost is ~0.01 dB (RESULTS.md round 5). The probe
+        # therefore measures only the approximations WITHOUT analytic
+        # bounds (fast fine stage, early exit) on the pre-occupancy boxes;
+        # manual-tau occupancy (no guarantee) stays inside the probe.
+        probe_scene = (self._exact_scene
+                       if cfg.TPU.OCCUPANCY_SKIP and cfg.TPU.OCC_AUTO_TAU
+                       else self.scene)
+        mse = jnp.mean(jnp.square(probe(self.spec, probe_scene)
                                   - probe(exact_spec, self._exact_scene)))
         self.fidelity_db = float(jax.device_get(
             -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))

@@ -118,10 +118,15 @@ def test_cache_roundtrip(setup, tmp_path):
 
 def test_renderer_wiring(tmp_path_factory):
     """TPU.OCCUPANCY_SKIP through the real renderer ctor: boxes refined,
-    contained in the originals, and the cache file lands in OUTPUT_DIR."""
+    contained in the originals, and the cache file lands in OUTPUT_DIR.
+    Without a checkpoint on disk the refine must NOT run (a fresh field's
+    occupancy is meaningless — render/renderer.py guard)."""
     import glob
 
     from stnerf_tpu.data.synthetic import make_synthetic_scene, synthetic_cfg
+    from stnerf_tpu.engine.checkpoint import save_checkpoint
+    from stnerf_tpu.models import init_layered_params
+    from stnerf_tpu.models.layered import LayeredSpec
     from stnerf_tpu.render.renderer import LayeredNeuralRenderer
 
     root = str(tmp_path_factory.mktemp("occ_scene"))
@@ -133,8 +138,18 @@ def test_renderer_wiring(tmp_path_factory):
     cfg.TPU.COMPUTE_DTYPE = "float32"  # this CPU backend has no bf16 dot
     cfg.TPU.OCCUPANCY_SKIP = True
     cfg.TPU.OCC_GRID = 8
+    cfg.TPU.OCC_AUTO_TAU = False
     cfg.TPU.OCC_SIGMA_THRESH = 0.05
+    cfg.TPU.FIDELITY_GATE = False   # gate has its own test; keep this small
     cfg.freeze()
+
+    # no checkpoint: fresh params, occupancy refine skipped entirely
+    r_fresh = LayeredNeuralRenderer(cfg)
+    assert r_fresh.scene is r_fresh._exact_scene
+    assert not glob.glob(os.path.join(out, "occ_boxes_*.npz"))
+
+    save_checkpoint(out, init_layered_params(
+        jax.random.PRNGKey(0), LayeredSpec.from_cfg(cfg)), None, 1)
     r = LayeredNeuralRenderer(cfg)
     orig = np.asarray(r.dataset.scene_boxes.boxes)
     new = np.asarray(r.scene.boxes)

@@ -215,7 +215,8 @@ class TestFidelityGate:
         cfg.MODEL.COARSE_RAY_SAMPLING = 12
         cfg.MODEL.FINE_RAY_SAMPLING = 6
         cfg.TPU.FIDELITY_PROBE_RES = 32
-        return cfg
+        cfg.TPU.OCC_GRID = 8        # occupancy is default-on since round 5;
+        return cfg                  # keep its lattice small for CPU tests
 
     def test_pass_fallback_and_no_ckpt(self, scene_dirs):
         from stnerf_tpu.engine.checkpoint import save_checkpoint
@@ -240,6 +241,10 @@ class TestFidelityGate:
         r1 = LayeredNeuralRenderer(cfg1)
         assert r1.fidelity_db is not None and np.isfinite(r1.fidelity_db)
         assert r1.spec.fast_fine and r1.spec.coarse_exit_segments == 3
+        # occupancy (default-on, auto-tau) engaged alongside the gated fast
+        # path: the probe measures fast/exit on the PRE-occupancy boxes
+        # (auto-tau carries its own analytic bound), occ boxes stay active
+        assert r1.scene is not r1._exact_scene
 
         # impossible bar: gate trips -> exact reference semantics + original
         # boxes for the whole session
