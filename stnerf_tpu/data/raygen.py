@@ -504,8 +504,10 @@ def order_pool_by_hit(pool: dict, boxes: np.ndarray,
     if n == 0 or int(boxes.shape[1]) == 0:
         return pool
     order = np.lexsort((rng.random(n), pool_hit_keys(pool, boxes, chunk)))
-    out = {k: (np.asarray(v)[order]
-               if getattr(v, "ndim", 0) >= 1 and v.shape[0] == n else v)
+    # permute the per-ray columns BY NAME — a shape heuristic would silently
+    # permute any table whose leading dim happens to equal the ray count
+    per_ray = {"cams", "pix", "frames", "labels", "bbox_labels", "rgb"}
+    out = {k: (np.asarray(v)[order] if k in per_ray else v)
            for k, v in pool.items()}
     out["hit_ordered"] = np.int64(1)
     return out

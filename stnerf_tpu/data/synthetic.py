@@ -250,7 +250,12 @@ def make_synthetic_scene(root: str, width: int = 200, height: int = 150,
             Image.fromarray(img).save(os.path.join(fdir, "images", f"{cam:03d}.png"))
             lab = label.reshape(height, width).astype(np.uint8)
             lab = _noisify_label(lab, label_noise, rng, layer_num)
-            np.save(os.path.join(fdir, "labels", f"{cam:03d}.npy"), lab)
+            # atomic: labels double as the frame-complete sentinel above —
+            # a kill mid-write must not leave a truncated file the resumed
+            # generation would treat as done
+            lab_path = os.path.join(fdir, "labels", f"{cam:03d}.npy")
+            np.save(lab_path + ".tmp.npy", lab)
+            os.replace(lab_path + ".tmp.npy", lab_path)
 
 
 def synthetic_cfg(root: str, width: int = 200, height: int = 150,

@@ -518,10 +518,18 @@ def do_train(cfg, spec: LayeredSpec, params, scene: SceneBoxes,
             block = 1
         else:
             shard_bs = batch_size // max(n_data, 1)
+            shard_pool = n_pool // max(n_data, 1)
             req = block
             while block > 1 and shard_bs % block:
                 block -= 1   # largest feasible block <= requested
-            if block != req:
+            if block > shard_pool:
+                # a pool smaller than one block per shard has no blocks to
+                # draw (nb = 0 -> degenerate randint + oversized slice)
+                logger.info(
+                    "POOL_BLOCK_DRAW %d exceeds the per-shard pool (%d "
+                    "rays); falling back to per-ray draws", req, shard_pool)
+                block = 1
+            elif block != req:
                 logger.info(
                     "POOL_BLOCK_DRAW %d does not divide the per-shard "
                     "batch %d; using %d", req, shard_bs, block)

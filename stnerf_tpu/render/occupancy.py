@@ -324,7 +324,14 @@ def refine_scene_boxes(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     boxes = np.asarray(scene.boxes).copy()           # (F, L, 2, 3)
     F, L = boxes.shape[:2]
     K = max(1, int(slices))
-    eps = _eps_alpha(auto_tau_db) if auto_tau_db is not None else None
+    # The per-ray budget must COMPOSE across independently-refined fields:
+    # a ray can cross every performer's culled region (and the background's
+    # when refine_bkgd), each bounded separately, so each field gets an
+    # equal share of the total alpha budget — otherwise L fields at the
+    # full budget would ship 20*log10(L) dB below the floor.
+    n_fields = max(L + (1 if refine_bkgd else 0), 1)
+    eps = (_eps_alpha(auto_tau_db) / n_fields
+           if auto_tau_db is not None else None)
     shrunk = total = 0
     taus: list[float] = []
     vol = lambda b: float(np.prod(np.maximum(b[1] - b[0], 0.0)))
@@ -443,7 +450,10 @@ def refined_boxes_cached(params: dict, spec: LayeredSpec, scene: SceneBoxes,
     tag = "none"
     if ckpt_path and os.path.exists(ckpt_path):
         tag = f"{os.path.basename(ckpt_path)}_{int(os.path.getmtime(ckpt_path))}"
-    thresh_tag = (f"a{auto_tau_db:g}" if auto_tau_db is not None
+    # "a2": auto-tau semantics v2 — the per-ray budget splits across the
+    # independently-refined fields (and slices search their own tau), so
+    # v1-cached boxes must not be served
+    thresh_tag = (f"a2{auto_tau_db:g}" if auto_tau_db is not None
                   else f"{sigma_thresh:g}")
     name = (f"occ_boxes_{tag}_g{grid}_t{thresh_tag}_p{pad_voxels}"
             f"_b{int(refine_bkgd)}"

@@ -63,6 +63,7 @@ class LayeredNeuralRenderer:
         self.scene = self.dataset.scene_boxes
         self._exact_scene = self.scene  # pre-occupancy boxes (fidelity gate)
         self._ckpt_path = None
+        self._params_supplied = params is not None
         self.params = params if params is not None else self._load_params()
         # The scale-edit pivot comes from the ORIGINAL frame-0 boxes so edits
         # stay reference-exact even when occupancy refinement shrinks boxes.
@@ -124,9 +125,20 @@ class LayeredNeuralRenderer:
         # bar the renderer warns and falls back to the exact path for the
         # whole session.
         self.fidelity_db = None
+        # Occupancy boxes enter the probe only in MANUAL-tau mode; auto-tau
+        # culling carries its own analytic worst-case bound (see
+        # _apply_fidelity_gate) and refined-but-auto boxes alone need no
+        # probe (it would compare two byte-identical renders for minutes).
+        occ_in_probe = (self.scene is not self._exact_scene
+                        and not cfg.TPU.OCC_AUTO_TAU)
         approx = (self.spec.fast_fine or self.spec.coarse_exit_segments > 1
-                  or bool(cfg.TPU.OCCUPANCY_SKIP))
-        if (approx and cfg.TPU.FIDELITY_GATE and self._ckpt_path is not None
+                  or occ_in_probe)
+        # trained weights reach the renderer either from a checkpoint on
+        # disk or passed in directly — both must be gated (in-memory params
+        # are presumably trained; a fresh-init fallback never gets here
+        # because _load_params only sets _ckpt_path on a real load)
+        if (approx and cfg.TPU.FIDELITY_GATE
+                and (self._ckpt_path is not None or self._params_supplied)
                 and len(self.gt_poses) > 0):
             self._apply_fidelity_gate()
 
@@ -193,12 +205,36 @@ class LayeredNeuralRenderer:
         probe_scene = (self._exact_scene
                        if cfg.TPU.OCCUPANCY_SKIP and cfg.TPU.OCC_AUTO_TAU
                        else self.scene)
-        mse = jnp.mean(jnp.square(probe(self.spec, probe_scene)
-                                  - probe(exact_spec, self._exact_scene)))
-        self.fidelity_db = float(jax.device_get(
-            -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
+
+        def fidelity(scene):
+            mse = jnp.mean(jnp.square(probe(self.spec, scene)
+                                      - probe(exact_spec, self._exact_scene)))
+            return float(jax.device_get(
+                -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))))
+
+        self.fidelity_db = fidelity(probe_scene)
         min_db = float(cfg.TPU.FIDELITY_MIN_DB)
         if self.fidelity_db < min_db:
+            if probe_scene is not self._exact_scene:
+                # staged fallback: manual-tau occupancy was inside the
+                # probe, and tightened boxes alone cap vs-exact PSNR at
+                # ~38 dB from pure quadrature shift (re-stratified sample
+                # budget) even when nothing real was culled. Before
+                # reverting the whole fast stack, re-probe the fast flags
+                # on the ORIGINAL boxes — if they pass alone, drop only
+                # the occupancy culling.
+                no_occ_db = fidelity(self._exact_scene)
+                if no_occ_db >= min_db:
+                    self.logger.warning(
+                        "fidelity gate: manual-tau occupancy takes the "
+                        "probe to %.1f dB (< %.1f) but the fast path alone "
+                        "holds %.1f dB — dropping occupancy boxes, keeping "
+                        "the fast path (OCC_AUTO_TAU culling would ship "
+                        "under its own analytic bound instead)",
+                        self.fidelity_db, min_db, no_occ_db)
+                    self.fidelity_db = no_occ_db
+                    self.scene = self._exact_scene
+                    return
             self.logger.warning(
                 "fidelity gate: approximate path %.1f dB vs exact at the "
                 "loaded weights (< %.1f dB) — falling back to the exact "

@@ -48,6 +48,12 @@ _CRC_TABLE = _make_crc32c_table()
 
 
 def _crc32c(data: bytes) -> int:
+    # Table-per-byte is the fastest pure-Python variant measured on this
+    # host (slicing-by-8 was tried and is SLOWER here: the int.from_bytes
+    # + wide-int xor folding costs more per 8 bytes than 8 table lookups,
+    # 0.51 s vs 0.33 s on a 2 MB payload). At ~0.17 us/byte a 1080p PNG
+    # validation panel costs ~0.2-0.5 s — a few percent of the ~50 s
+    # validation render it accompanies.
     crc = 0xFFFFFFFF
     for b in data:
         crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
@@ -61,6 +67,10 @@ def _masked_crc(data: bytes) -> int:
 
 # ------------------------------------------------------------- proto wire --
 def _varint(n: int) -> bytes:
+    # negative ints would shift-right forever (protobuf encodes them as
+    # 10-byte two's complement; no caller needs that — fail loudly instead)
+    if n < 0:
+        raise ValueError(f"varint field must be non-negative, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -259,6 +259,78 @@ class TestFidelityGate:
         np.testing.assert_allclose(r2.fidelity_db, r1.fidelity_db, rtol=1e-5)
 
 
+class TestFidelityGateStagedFallback:
+    """Manual-tau occupancy inside the probe must not drag the whole fast
+    stack down with it: when the occ-inclusive probe fails but the fast
+    flags alone pass, only the occupancy boxes are dropped."""
+
+    def test_staged_fallback_drops_occupancy_only(self, tmp_path_factory,
+                                                  monkeypatch):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from stnerf_tpu.data.synthetic import (make_synthetic_scene,
+                                               synthetic_cfg)
+        from stnerf_tpu.engine.checkpoint import save_checkpoint
+        from stnerf_tpu.models import init_layered_params
+        from stnerf_tpu.models.layered import LayeredSpec
+        from stnerf_tpu.render import occupancy, pose_device
+        from stnerf_tpu.render.renderer import LayeredNeuralRenderer
+
+        root = str(tmp_path_factory.mktemp("sf_scene"))
+        out = str(tmp_path_factory.mktemp("sf_out"))
+        make_synthetic_scene(root, width=60, height=45, num_cams=3,
+                             num_frames=2)
+        cfg = synthetic_cfg(root, 60, 45, 2)
+        cfg.OUTPUT_DIR = out
+        cfg.TPU.USE_PALLAS = False
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.MODEL.COARSE_RAY_SAMPLING = 8
+        cfg.MODEL.FINE_RAY_SAMPLING = 4
+        cfg.TPU.FIDELITY_PROBE_RES = 16
+        cfg.TPU.OCC_AUTO_TAU = False      # manual tau: occ enters the probe
+        cfg.TPU.FIDELITY_MIN_DB = 30.0
+        cfg.freeze()
+        spec = LayeredSpec.from_cfg(cfg)
+        save_checkpoint(out, init_layered_params(jax.random.PRNGKey(0), spec),
+                        None, 1)
+
+        # deterministic refine: shrink every live box a little so the occ
+        # scene is a distinct object with different boxes
+        def fake_refine(params, spec_, scene, **kw):
+            b = jnp.asarray(scene.boxes)
+            c = b.mean(axis=-2, keepdims=True)
+            return scene._replace(boxes=c + (b - c) * 0.8)
+
+        monkeypatch.setattr(occupancy, "refined_boxes_cached", fake_refine)
+
+        class _Frame:
+            def __init__(self, v):
+                self.color = jnp.full((256, 3), v, jnp.uint8)
+                self.depth = jnp.zeros((256, 1), jnp.float32)
+
+        orig_boxes = None
+
+        def fake_render(params, s, scene, *a, **kw):
+            same = bool(jnp.all(jnp.asarray(scene.boxes) == orig_boxes))
+            if not s.fast_fine:
+                return _Frame(100)        # exact reference render
+            if not same:
+                return _Frame(160)        # fast + occ boxes: way off
+            return _Frame(101)            # fast on original boxes: close
+
+        monkeypatch.setattr(pose_device, "render_pose_on_device", fake_render)
+        from stnerf_tpu.data import RenderScene
+        orig_boxes = jnp.asarray(RenderScene(cfg).scene_boxes.boxes)
+
+        r = LayeredNeuralRenderer(cfg)
+        # staged fallback: occupancy dropped, the fast path survived
+        assert r.scene is r._exact_scene
+        assert r.spec.fast_fine and r.spec.coarse_exit_segments == 3
+        assert r.fidelity_db is not None and r.fidelity_db >= 30.0
+
+
 class TestVideoAndMisc:
     def test_write_video(self, tmp_path):
         from stnerf_tpu.render.video import write_video
